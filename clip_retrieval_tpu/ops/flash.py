@@ -1,0 +1,91 @@
+"""Pallas fused attention for CLIP towers on TPU.
+
+CLIP sequences are short (50..577 tokens), so the whole (S, D) tile of one
+(batch, head) fits comfortably in VMEM.  Rather than a streamed flash kernel
+with online softmax (needed only when S*S doesn't fit on-chip), this kernel
+fuses QK^T → masked softmax → PV into one VMEM-resident program per
+(batch, head), eliminating the HBM round-trips for the S×S logits that a
+naive implementation would pay.  Inputs are padded to lane/sublane-aligned
+shapes by the wrapper; padding is masked inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float,
+                 causal: bool):
+    q = q_ref[0].astype(jnp.float32)  # (Sq, D)
+    k = k_ref[0].astype(jnp.float32)  # (Sk, D)
+    v = v_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Sq, Sk)
+    sq, sk = logits.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        mask = jnp.logical_and(mask, col <= row)
+    logits = jnp.where(mask, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False) -> jax.Array:
+    """Fused attention. q,k,v: (B, H, S, D) → (B, H, S, D)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = d ** -0.5
+
+    sq_p = _round_up(sq, 8)
+    sk_p = _round_up(sk, 8)
+    d_p = _round_up(d, 128)
+    pad = lambda x, s: jnp.pad(
+        x, ((0, 0), (0, 0), (0, s - x.shape[2]), (0, d_p - d))
+    )
+    qp = pad(q, sq_p).reshape(b * h, sq_p, d_p)
+    kp = pad(k, sk_p).reshape(b * h, sk_p, d_p)
+    vp = pad(v, sk_p).reshape(b * h, sk_p, d_p)
+
+    kernel = functools.partial(
+        _attn_kernel, kv_len=sk, scale=scale, causal=causal
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, sq_p, d_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d_p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sq_p, d_p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d_p), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * sk_p * d_p,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * sq_p * sk_p,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]

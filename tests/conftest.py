@@ -1,0 +1,26 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before any jax device query. The environment's sitecustomize
+registers a TPU ('axon') backend at interpreter start, so JAX_PLATFORMS from
+the environment is not enough — we override via jax.config, which works as
+long as no devices have been initialized yet.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["CRT_DISABLE_FLASH"] = "1"  # pallas kernels need TPU; tests run on CPU
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
