@@ -1,0 +1,144 @@
+"""SLURM distributor + rank worker for TPU-VM clusters.
+
+Behavioral port of `/root/reference/clip_retrieval/clip_inference/
+slurm_distributor.py` and `slurm_worker.py`, adapted to TPU topology: the
+reference launches 8 ranks per node (one per GPU); a TPU host runs ONE rank
+that drives all local cores, so --ntasks-per-node=1.
+
+The distributor writes worker args to a JSON file, renders an sbatch script
+that runs `python -m clip_retrieval_tpu.inference.slurm_worker`, submits it,
+and polls squeue until completion or timeout (scancel on timeout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import time
+from typing import Any, Sequence
+
+from ..parallel.dist import get_task_list
+
+
+class SlurmDistributor:
+    def __init__(self, tasks: Sequence[int], worker_args: dict[str, Any]):
+        self.tasks = list(tasks)
+        self.worker_args = dict(worker_args)
+        slurm = {
+            k: self.worker_args.pop(k, None)
+            for k in (
+                "slurm_job_name",
+                "slurm_partition",
+                "slurm_nodes",
+                "slurm_job_comment",
+                "slurm_nodelist",
+                "slurm_exclude",
+                "slurm_job_timeout",
+                "slurm_cache_path",
+                "slurm_verbose_wait",
+            )
+        }
+        self.job_name = slurm["slurm_job_name"] or "clip-retrieval-tpu"
+        self.partition = slurm["slurm_partition"]
+        self.nodes = slurm["slurm_nodes"] or 1
+        self.job_comment = slurm["slurm_job_comment"]
+        self.nodelist = slurm["slurm_nodelist"]
+        self.exclude = slurm["slurm_exclude"]
+        self.job_timeout = slurm["slurm_job_timeout"] or 60 * 60 * 24 * 14
+        self.cache_path = os.path.expanduser(
+            slurm["slurm_cache_path"] or "~/.cache/clip_retrieval_tpu/slurm"
+        )
+        self.verbose_wait = bool(slurm["slurm_verbose_wait"])
+
+    # -- script generation -------------------------------------------------
+
+    def _write_inputs(self) -> tuple[str, str]:
+        os.makedirs(self.cache_path, exist_ok=True)
+        args_path = os.path.join(self.cache_path, "worker_args.json")
+        with open(args_path, "w") as f:
+            json.dump(
+                {"tasks": self.tasks, "worker_args": self.worker_args}, f
+            )
+        sbatch_path = os.path.join(self.cache_path, "sbatch_script.sh")
+        with open(sbatch_path, "w") as f:
+            f.write(self._sbatch_script(args_path))
+        return args_path, sbatch_path
+
+    def _sbatch_script(self, args_path: str) -> str:
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --job-name={self.job_name}",
+            f"#SBATCH --nodes={self.nodes}",
+            "#SBATCH --ntasks-per-node=1",  # one rank drives all local TPU cores
+            "#SBATCH --exclusive",
+            f"#SBATCH --output={self.cache_path}/slurm-%j.out",
+        ]
+        if self.partition:
+            lines.append(f"#SBATCH --partition={self.partition}")
+        if self.job_comment:
+            lines.append(f"#SBATCH --comment={self.job_comment}")
+        if self.nodelist:
+            lines.append(f"#SBATCH --nodelist={self.nodelist}")
+        if self.exclude:
+            lines.append(f"#SBATCH --exclude={self.exclude}")
+        lines += [
+            "",
+            f"srun python -m clip_retrieval_tpu.inference.slurm_worker "
+            f"--worker_args_path={args_path}",
+        ]
+        return "\n".join(lines) + "\n"
+
+    # -- submission / polling ---------------------------------------------
+
+    def __call__(self):
+        _, sbatch_path = self._write_inputs()
+        out = subprocess.check_output(
+            ["sbatch", sbatch_path], universal_newlines=True
+        )
+        job_id = out.strip().split()[-1]
+        print(f"submitted slurm job {job_id}")
+        start = time.time()
+        try:
+            while True:
+                q = subprocess.check_output(
+                    ["squeue", "-j", job_id, "-h"], universal_newlines=True
+                ).strip()
+                if self.verbose_wait:
+                    print(f"squeue: {q!r}")
+                if not q:
+                    print(f"slurm job {job_id} finished")
+                    return
+                if time.time() - start > self.job_timeout:
+                    print(f"slurm job {job_id} timed out; cancelling")
+                    subprocess.run(["scancel", job_id], check=False)
+                    raise TimeoutError(f"slurm job {job_id} timed out")
+                time.sleep(1)
+        except KeyboardInterrupt:
+            subprocess.run(["scancel", job_id], check=False)
+            raise
+
+
+def slurm_worker(worker_args_path: str):
+    """Entry run by each srun rank: pick a contiguous task block and work it.
+
+    Rank/world come from SLURM env (reference `slurm_worker.py:40-61`), or
+    from jax.distributed on TPU pods."""
+    from .worker import worker
+
+    with open(worker_args_path) as f:
+        payload = json.load(f)
+    tasks = payload["tasks"]
+    worker_args = payload["worker_args"]
+    world_size = int(os.environ.get("SLURM_NTASKS", os.environ.get("WORLD_SIZE", 1)))
+    rank = int(os.environ.get("SLURM_PROCID", os.environ.get("RANK", 0)))
+    mine = get_task_list(len(tasks), world_size, rank)
+    worker(tasks=[tasks[i] for i in mine], **worker_args)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker_args_path", required=True)
+    slurm_worker(ap.parse_args().worker_args_path)

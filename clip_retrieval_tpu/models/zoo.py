@@ -1,0 +1,84 @@
+"""Model zoo: resolve a `clip_model` string to (config, params, tokenizer).
+
+Plays the role of `all_clip.load_clip` in the reference
+(`/root/reference/clip_retrieval/clip_inference/mapper.py:36`,
+`clip_back.py:865-868`) with offline-friendly sources:
+
+- "test-tiny" / any registered config name → deterministic random params
+  (seed 0); used by tests and benches (this environment has no model egress);
+- "<config>:<checkpoint path>" (e.g. "ViT-B/32:/ckpts/vitb32.npz") → convert
+  an openai/open_clip/HF state dict from disk;
+- "hf:<local dir>" → transformers CLIPModel.from_pretrained(dir) → convert.
+
+Tokenizer: real CLIP BPE when a merges file is available (CRT_BPE_PATH or
+cache), else the byte-level fallback (exact for the test-tiny config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from . import configs, loaders
+from .clip import Params, init_clip
+from .tokenizer import CLIPTokenizer, default_bpe_path
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    name: str
+    cfg: configs.CLIPConfig
+    params: Params
+    tokenizer: CLIPTokenizer
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.image_size
+
+    def tokenize(self, texts, context_length: int | None = None) -> np.ndarray:
+        return self.tokenizer(
+            texts, context_length or self.cfg.context_length
+        )
+
+
+def _make_tokenizer(cfg: configs.CLIPConfig) -> CLIPTokenizer:
+    if default_bpe_path() is not None:
+        return CLIPTokenizer()
+    tok = CLIPTokenizer.byte_fallback()
+    if tok.vocab_size > cfg.vocab_size:
+        # byte-fallback ids exceed the model vocab → clamp into range; only
+        # the test-tiny config (vocab 520 ≥ 514) is exact.
+        raise ValueError(
+            f"no BPE vocab file available and byte-fallback vocab "
+            f"({tok.vocab_size}) exceeds model vocab ({cfg.vocab_size}); "
+            "set CRT_BPE_PATH to the CLIP merges file"
+        )
+    return tok
+
+
+def load_model(clip_model: str, checkpoint: str | None = None) -> ModelBundle:
+    """Resolve clip_model (see module docstring) to a ModelBundle."""
+    if clip_model.startswith("hf:"):
+        import transformers
+
+        model = transformers.CLIPModel.from_pretrained(clip_model[3:])
+        cfg = loaders.config_from_hf(model.config)
+        params = loaders.convert_hf_state_dict(model.state_dict(), cfg)
+        return ModelBundle(clip_model, cfg, params, _make_tokenizer(cfg))
+
+    if ":" in clip_model and checkpoint is None:
+        clip_model, checkpoint = clip_model.split(":", 1)
+
+    cfg = configs.get_config(clip_model)
+    if checkpoint:
+        params, cfg = loaders.load_checkpoint(checkpoint, cfg)
+    else:
+        if cfg.name != "test-tiny":
+            print(
+                f"WARNING: no checkpoint for {clip_model}; using random "
+                "weights (embeddings will be meaningless)"
+            )
+        params = init_clip(cfg, 0)
+    return ModelBundle(clip_model, cfg, params, _make_tokenizer(cfg))
