@@ -1,0 +1,97 @@
+"""Index parameter auto-selection from a memory budget.
+
+Plays autofaiss's role in the reference
+(`/root/reference/clip_retrieval/clip_index.py:24-31`: build_index bounded by
+max_index_memory_usage / current_memory_available).  Accepts faiss-style
+index keys for explicit control ("Flat", "IVF4096,PQ64", "OPQ64,IVF4096,PQ64")
+and otherwise derives (nlist, m, opq) from corpus size and the byte budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+
+
+@dataclasses.dataclass
+class IndexParams:
+    kind: str  # "flat" | "ivfpq"
+    nlist: int = 0
+    m: int = 0
+    ksub: int = 256
+    use_opq: bool = False
+
+    @property
+    def index_key(self) -> str:
+        if self.kind == "flat":
+            return "Flat"
+        key = f"IVF{self.nlist},PQ{self.m}x8"
+        if self.use_opq:
+            key = f"OPQ{self.m},{key}"
+        return key
+
+
+def parse_memory_string(s: str | int | float) -> int:
+    """'4G'/'500M'/'16GB' → bytes."""
+    if isinstance(s, (int, float)):
+        return int(s)
+    m = re.fullmatch(r"\s*([\d.]+)\s*([KMGT]?)B?\s*", s, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"bad memory string {s!r}")
+    mult = {"": 1, "K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+    return int(float(m.group(1)) * mult[m.group(2).upper()])
+
+
+def parse_index_key(key: str, d: int) -> IndexParams:
+    key = key.strip()
+    if key.lower() == "flat":
+        return IndexParams(kind="flat")
+    use_opq = False
+    nlist = m = None
+    for part in key.split(","):
+        part = part.strip()
+        if part.upper().startswith("OPQ"):
+            use_opq = True
+        elif part.upper().startswith("IVF"):
+            nlist = int(re.match(r"IVF(\d+)", part, re.I).group(1))
+        elif part.upper().startswith("PQ"):
+            m = int(re.match(r"PQ(\d+)", part, re.I).group(1))
+    if nlist is None or m is None:
+        raise ValueError(f"unsupported index key {key!r}")
+    if d % m:
+        raise ValueError(f"PQ{m} does not divide d={d}")
+    return IndexParams(kind="ivfpq", nlist=nlist, m=m, use_opq=use_opq)
+
+
+def _pick_m(d: int, budget_per_vec: float) -> int:
+    candidates = [c for c in (256, 192, 128, 96, 64, 48, 32, 24, 16, 12, 8, 4)
+                  if c <= d and d % c == 0]
+    for c in candidates:
+        if c <= budget_per_vec:
+            return c
+    return candidates[-1]
+
+
+def select_params(
+    n: int,
+    d: int,
+    max_index_memory: str | int = "4G",
+    index_key: str | None = None,
+) -> IndexParams:
+    """Choose index params for n d-dim vectors under a byte budget."""
+    if index_key:
+        return parse_index_key(index_key, d)
+    budget = parse_memory_string(max_index_memory)
+    flat_bytes = n * d * 2  # fp16 vectors
+    if n <= 100_000 and flat_bytes <= budget:
+        return IndexParams(kind="flat")
+    # IVF-PQ: per-vector cost ≈ m (codes) + 8 (id); fixed cost nlist*d*4
+    nlist = 1 << max(6, min(17, round(math.log2(8 * math.sqrt(max(n, 1))))))
+    while nlist > 64 and n / nlist < 39:  # faiss min points per centroid
+        nlist //= 2
+    per_vec = (budget - nlist * d * 4) / max(n, 1) - 8
+    m = _pick_m(d, per_vec)
+    return IndexParams(
+        kind="ivfpq", nlist=nlist, m=m, use_opq=d >= 64
+    )

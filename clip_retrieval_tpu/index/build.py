@@ -1,0 +1,244 @@
+"""clip_index: build TPU indices over embedding folders.
+
+Reference counterpart: `/root/reference/clip_retrieval/clip_index.py:12-66`
+(autofaiss.build_index over img_emb/ and text_emb/ → image.index/text.index
++ infos json + metadata copy).  Artifact names match so clip_back and the
+end2end flow are drop-in; the index payload itself is our own format
+(directory of arrays, see ivfpq.py) since FAISS binary compat is meaningless
+without FAISS.
+
+Build path (all FLOP-heavy steps on TPU):
+  1. auto-select params from the byte budget (autotune.py)
+  2. train: OPQ rotation (alternating Procrustes/PQ) → coarse k-means →
+     PQ codebooks on residuals — chunked-Lloyd's matmul programs
+  3. encode: stream shards through device (assign + residual PQ encode)
+  4. group codes/ids by list (CSR), save, score recall vs brute force
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import shutil
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kmeans as kmeans_ops
+from ..ops import pq as pq_ops
+from .autotune import IndexParams, select_params
+from .flat import FlatIndex
+from .ivfpq import IVFPQIndex
+
+LOGGER = logging.getLogger("clip_index")
+
+
+class EmbeddingShards:
+    """Lazy view over a folder of npy embedding shards (mmap'd)."""
+
+    def __init__(self, folder: str):
+        self.paths = sorted(glob.glob(os.path.join(folder, "*.npy")))
+        if not self.paths:
+            raise ValueError(f"no npy shards found in {folder}")
+        self.arrays = [np.load(p, mmap_mode="r") for p in self.paths]
+        self.counts = [a.shape[0] for a in self.arrays]
+        self.d = self.arrays[0].shape[1]
+        self.total = int(sum(self.counts))
+
+    def sample(self, k: int, seed: int = 0) -> np.ndarray:
+        """Uniform random sample of ≤k rows across shards."""
+        rng = np.random.default_rng(seed)
+        k = min(k, self.total)
+        idx = np.sort(rng.choice(self.total, size=k, replace=False))
+        out = np.empty((k, self.d), np.float32)
+        offs = np.cumsum([0] + self.counts)
+        for i, (arr, start, end) in enumerate(
+            zip(self.arrays, offs[:-1], offs[1:])
+        ):
+            sel = idx[(idx >= start) & (idx < end)] - start
+            if sel.size:
+                pos = np.searchsorted(idx, sel + start)
+                out[pos] = np.asarray(arr[sel], np.float32)
+        return out
+
+    def iter_chunks(self, chunk: int = 1 << 17):
+        """Yields (global_start, np.float32 chunk)."""
+        offset = 0
+        for arr in self.arrays:
+            for i in range(0, arr.shape[0], chunk):
+                block = np.asarray(arr[i : i + chunk], np.float32)
+                yield offset + i, block
+            offset += arr.shape[0]
+
+
+def build_index_from_shards(
+    shards: EmbeddingShards,
+    params: IndexParams,
+    nprobe: int = 16,
+    train_points: int = 1 << 20,
+    seed: int = 0,
+):
+    """Train + encode an index over all shard rows (ids = global row order)."""
+    n, d = shards.total, shards.d
+    if params.kind == "flat":
+        index = FlatIndex(d)
+        for _, block in shards.iter_chunks():
+            index.add(block)
+        return index
+
+    t0 = time.time()
+    sample = shards.sample(min(train_points, n), seed)
+    LOGGER.info("training on %d samples (d=%d)", sample.shape[0], d)
+
+    rotation = None
+    if params.use_opq:
+        pq_rot = pq_ops.train_opq(
+            sample, params.m, params.ksub, opq_iters=4, pq_niter=8, seed=seed
+        )
+        rotation = np.asarray(pq_rot.rotation)
+        sample_r = sample @ rotation
+    else:
+        sample_r = sample
+
+    coarse = kmeans_ops.kmeans(sample_r, params.nlist, niter=20, seed=seed)
+    coarse_np = np.asarray(coarse)
+
+    # PQ on residuals of the training sample
+    assign = kmeans_ops.assign_chunked(sample_r, coarse)
+    residuals = sample_r - coarse_np[assign]
+    pq = pq_ops.train_pq(residuals, params.m, params.ksub, niter=15, seed=seed)
+    LOGGER.info("train done in %.1fs", time.time() - t0)
+
+    # encode all vectors streaming
+    t0 = time.time()
+    all_assign = np.empty((n,), np.int32)
+    all_codes = np.empty((n, params.m), np.uint8)
+    for start, block in shards.iter_chunks():
+        br = block @ rotation if rotation is not None else block
+        a = kmeans_ops.assign_chunked(br, coarse)
+        resid = br - coarse_np[a]
+        codes = pq_ops.pq_encode(resid, pq)
+        all_assign[start : start + block.shape[0]] = a
+        all_codes[start : start + block.shape[0]] = codes
+    LOGGER.info("encode done in %.1fs", time.time() - t0)
+
+    # group by list (CSR)
+    order = np.argsort(all_assign, kind="stable")
+    list_ids = order.astype(np.int64)
+    list_codes = all_codes[order]
+    counts = np.bincount(all_assign, minlength=params.nlist)
+    offsets = np.zeros((params.nlist + 1,), np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    return IVFPQIndex(
+        d=d,
+        coarse_centroids=coarse_np,
+        codebooks=np.asarray(pq.codebooks),
+        rotation=rotation,
+        list_offsets=offsets,
+        list_ids=list_ids,
+        list_codes=list_codes,
+        nprobe=nprobe,
+    )
+
+
+def score_index(index, shards: EmbeddingShards, n_queries: int = 100,
+                k: int = 40, seed: int = 7) -> dict:
+    """Recall@k vs exact brute force on a query sample (the reference
+    delegates this to autofaiss score_index, README.md:292)."""
+    queries = shards.sample(n_queries, seed=seed)
+    exact = FlatIndex(shards.d)
+    for _, block in shards.iter_chunks():
+        exact.add(block.astype(np.float16))
+    _, gt = exact.search(queries, k)
+    _, got = index.search(queries, k)
+    recall = float(
+        np.mean(
+            [
+                len(set(gt[i]) & set(got[i])) / max(1, (gt[i] >= 0).sum())
+                for i in range(gt.shape[0])
+            ]
+        )
+    )
+    return {f"recall@{k}": recall, "n_queries": n_queries}
+
+
+def quantize(
+    embeddings_path: str,
+    index_path: str,
+    infos_path: str,
+    max_index_memory_usage: str,
+    index_key: str | None,
+    nprobe: int,
+    compute_recall: bool,
+):
+    shards = EmbeddingShards(embeddings_path)
+    params = select_params(
+        shards.total, shards.d, max_index_memory_usage, index_key
+    )
+    LOGGER.info(
+        "building %s over %d×%d", params.index_key, shards.total, shards.d
+    )
+    t0 = time.time()
+    index = build_index_from_shards(shards, params, nprobe=nprobe)
+    index.save(index_path)
+    infos = {
+        "index_key": params.index_key,
+        "ntotal": shards.total,
+        "d": shards.d,
+        "build_seconds": time.time() - t0,
+    }
+    if compute_recall:
+        infos.update(score_index(index, shards))
+    with open(infos_path, "w") as f:
+        json.dump(infos, f)
+    return index, infos
+
+
+def clip_index(
+    embeddings_folder: str,
+    index_folder: str,
+    max_index_memory_usage: str = "4G",
+    current_memory_available: str = "16G",  # accepted for CLI parity
+    copy_metadata: bool = True,
+    image_subfolder: str = "img_emb",
+    text_subfolder: str = "text_emb",
+    index_key: str | None = None,
+    nprobe: int = 16,
+    compute_recall: bool = True,
+    nb_cores: int | None = None,  # accepted for CLI parity
+):
+    """Build image/text indices from an inference output folder."""
+    os.makedirs(index_folder, exist_ok=True)
+    img_path = os.path.join(embeddings_folder, image_subfolder)
+    txt_path = os.path.join(embeddings_folder, text_subfolder)
+    if os.path.exists(img_path):
+        quantize(
+            img_path,
+            os.path.join(index_folder, "image.index"),
+            os.path.join(index_folder, "image.json"),
+            max_index_memory_usage,
+            index_key,
+            nprobe,
+            compute_recall,
+        )
+    if os.path.exists(txt_path):
+        quantize(
+            txt_path,
+            os.path.join(index_folder, "text.index"),
+            os.path.join(index_folder, "text.json"),
+            max_index_memory_usage,
+            index_key,
+            nprobe,
+            compute_recall,
+        )
+    metadata_src = os.path.join(embeddings_folder, "metadata")
+    if copy_metadata and os.path.exists(metadata_src):
+        shutil.copytree(
+            metadata_src,
+            os.path.join(index_folder, "metadata"),
+            dirs_exist_ok=True,
+        )

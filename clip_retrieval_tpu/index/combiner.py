@@ -1,0 +1,75 @@
+"""index_combiner: merge per-shard IVF-PQ indices sharing one trained prefix.
+
+Reference counterpart: `/root/reference/clip_retrieval/clip_back_prepro/
+index_combiner.py:10-26` (faiss merge_ondisk → populated.index +
+merged_index.ivfdata).  Because our inverted lists are plain CSR arrays, the
+merge is an offset-table concatenation: per-list segments from every shard
+are concatenated in shard order — no C++ needed.
+
+Shards must share coarse centroids / codebooks / rotation (same constraint
+as faiss: merge requires indices cloned from one trained index).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from .ivfpq import IVFPQIndex
+
+
+def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
+    base = indices[0]
+    for other in indices[1:]:
+        if not np.allclose(base.coarse_centroids, other.coarse_centroids):
+            raise ValueError("shard indices trained differently (centroids)")
+        if not np.allclose(base.codebooks, other.codebooks):
+            raise ValueError("shard indices trained differently (codebooks)")
+    nlist = base.nlist
+    sizes = np.zeros((nlist,), np.int64)
+    for ix in indices:
+        sizes += ix.list_sizes()
+    offsets = np.zeros((nlist + 1,), np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    total = int(offsets[-1])
+    ids = np.empty((total,), np.int64)
+    codes = np.empty((total, base.m), np.uint8)
+    cursor = offsets[:-1].copy()
+    for ix in indices:
+        offs = ix.list_offsets
+        for li in range(nlist):
+            s, e = offs[li], offs[li + 1]
+            n = int(e - s)
+            if n:
+                c = cursor[li]
+                ids[c : c + n] = ix.list_ids[s:e]
+                codes[c : c + n] = ix.list_codes[s:e]
+                cursor[li] += n
+    return IVFPQIndex(
+        d=base.d,
+        coarse_centroids=base.coarse_centroids,
+        codebooks=base.codebooks,
+        rotation=base.rotation,
+        list_offsets=offsets,
+        list_ids=ids,
+        list_codes=codes,
+        nprobe=base.nprobe,
+    )
+
+
+def index_combiner(indices_folder: str, output_folder: str):
+    """CLI entry: merge all index dirs under indices_folder into one."""
+    paths = sorted(
+        p
+        for p in glob.glob(os.path.join(indices_folder, "*"))
+        if os.path.isdir(p) and os.path.exists(os.path.join(p, "header.json"))
+    )
+    if not paths:
+        raise ValueError(f"no index directories in {indices_folder}")
+    indices = [IVFPQIndex.load(p) for p in paths]
+    merged = combine_ivfpq(indices)
+    os.makedirs(output_folder, exist_ok=True)
+    merged.save(os.path.join(output_folder, "populated.index"))
+    return merged
