@@ -1,0 +1,188 @@
+"""clip-back HTTP app: stdlib WSGI, same endpoints/JSON as the reference.
+
+The reference uses Flask+flask_restful (`/root/reference/clip_retrieval/
+clip_back.py:953-1018`); this build serves the identical REST surface
+(`/knn-service`, `/metadata`, `/indices-list`, `/metrics`,
+`/metrics-summary`, static front + `/config.json`) from a dependency-free
+WSGI router on a threading server.  The app object is a plain WSGI callable,
+so tests drive it in-process without sockets.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import traceback
+from typing import Any, Callable, Dict
+
+from prometheus_client import make_wsgi_app
+
+from .knn import KnnService, MetadataService
+from .metrics import metrics_summary_text
+from .options import ClipOptions
+from .resources import load_clip_indices
+
+LOGGER = logging.getLogger("clip_back")
+
+_CORS_HEADERS = [
+    ("Access-Control-Allow-Origin", "*"),
+    ("Access-Control-Allow-Headers", "Content-Type"),
+    ("Access-Control-Allow-Methods", "GET, POST, OPTIONS"),
+]
+
+
+class WsgiRouter:
+    """Tiny exact-path WSGI router with CORS + JSON helpers."""
+
+    def __init__(self):
+        self.routes: Dict[tuple[str, str], Callable] = {}
+        self.wsgi_mounts: Dict[str, Callable] = {}
+        self.fallback: Callable | None = None
+
+    def route(self, method: str, path: str, fn: Callable):
+        self.routes[(method, path)] = fn
+
+    def mount(self, path: str, wsgi_app: Callable):
+        self.wsgi_mounts[path] = wsgi_app
+
+    def __call__(self, environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "/")
+        if method == "OPTIONS":
+            start_response("204 No Content", list(_CORS_HEADERS))
+            return [b""]
+        for mount, app in self.wsgi_mounts.items():
+            if path == mount or path.startswith(mount + "/"):
+                environ = dict(environ)
+                environ["SCRIPT_NAME"] = mount
+                environ["PATH_INFO"] = path[len(mount) :]
+                return app(environ, start_response)
+        handler = self.routes.get((method, path))
+        if handler is None and self.fallback is not None:
+            return self.fallback(environ, start_response)
+        if handler is None:
+            start_response(
+                "404 Not Found",
+                [("Content-Type", "application/json"), *_CORS_HEADERS],
+            )
+            return [json.dumps({"error": "not found"}).encode()]
+        try:
+            body = None
+            if method == "POST":
+                length = int(environ.get("CONTENT_LENGTH") or 0)
+                raw = environ["wsgi.input"].read(length) if length else b"{}"
+                body = json.loads(raw or b"{}")
+            result = handler(body) if method == "POST" else handler()
+            if isinstance(result, tuple):  # (payload, content_type)
+                payload, ctype = result
+                data = (
+                    payload if isinstance(payload, bytes)
+                    else str(payload).encode()
+                )
+            else:
+                ctype = "application/json"
+                data = json.dumps(result).encode()
+            start_response(
+                "200 OK", [("Content-Type", ctype), *_CORS_HEADERS]
+            )
+            return [data]
+        except ValueError as e:
+            start_response(
+                "400 Bad Request",
+                [("Content-Type", "application/json"), *_CORS_HEADERS],
+            )
+            return [json.dumps({"error": str(e)}).encode()]
+        except Exception as e:  # pragma: no cover
+            LOGGER.error("request failed: %s", traceback.format_exc())
+            start_response(
+                "500 Internal Server Error",
+                [("Content-Type", "application/json"), *_CORS_HEADERS],
+            )
+            return [json.dumps({"error": str(e)}).encode()]
+
+
+def make_app(
+    clip_resources: Dict[str, Any],
+    default_backend: str | None = None,
+    default_index: str | None = None,
+    url_column: str = "url",
+) -> WsgiRouter:
+    """Assemble the WSGI app from loaded resources."""
+    router = WsgiRouter()
+    knn = KnnService(clip_resources)
+    meta = MetadataService(clip_resources)
+
+    router.route("POST", "/knn-service", knn.handle_post)
+    router.route("POST", "/metadata", meta.handle_post)
+    router.route("GET", "/indices-list", lambda: list(clip_resources.keys()))
+    router.route("GET", "/health", lambda: "ok")
+    router.route(
+        "GET", "/metrics-summary", lambda: (metrics_summary_text(), "text/plain")
+    )
+    router.mount("/metrics", make_wsgi_app())
+
+    from ..front import add_static_routes
+
+    add_static_routes(router, default_backend, default_index, url_column)
+    return router
+
+
+def serve(app: WsgiRouter, port: int, host: str = "0.0.0.0"):
+    """Threaded WSGI server (one device-bound request at a time is fine:
+    query encode batches are tiny; heavy concurrency rides the GIL-released
+    device dispatch)."""
+    import socketserver
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    with make_server(host, port, app, server_class=ThreadingWSGIServer) as srv:
+        LOGGER.info("serving on %s:%d", host, port)
+        srv.serve_forever()
+
+
+def clip_back(
+    indices_paths: str = "indices_paths.json",
+    port: int = 1234,
+    enable_hdf5: bool = False,
+    enable_faiss_memory_mapping: bool = False,
+    columns_to_return=None,
+    reorder_metadata_by_ivf_index: bool = False,
+    default_backend: str | None = None,
+    url_column: str = "url",
+    enable_mclip_option: bool = False,
+    clip_model: str = "ViT-B/32",
+    checkpoint: str | None = None,
+    use_jit: bool = True,
+    use_arrow: bool = False,
+    provide_safety_model: bool = False,
+    provide_violence_detector: bool = False,
+    provide_aesthetic_embeddings: bool = True,
+):
+    """Main entry point: load indices and serve (reference clip_back.py:953)."""
+    print("starting boot of clip back")
+    if columns_to_return is None:
+        columns_to_return = ["url", "image_path", "caption", "NSFW"]
+    clip_resources = load_clip_indices(
+        indices_paths=indices_paths,
+        clip_options=ClipOptions(
+            indice_folder="",
+            clip_model=clip_model,
+            checkpoint=checkpoint,
+            enable_hdf5=enable_hdf5,
+            enable_faiss_memory_mapping=enable_faiss_memory_mapping,
+            columns_to_return=columns_to_return,
+            reorder_metadata_by_ivf_index=reorder_metadata_by_ivf_index,
+            enable_mclip_option=enable_mclip_option,
+            use_jit=use_jit,
+            use_arrow=use_arrow,
+            provide_safety_model=provide_safety_model,
+            provide_violence_detector=provide_violence_detector,
+            provide_aesthetic_embeddings=provide_aesthetic_embeddings,
+        ),
+    )
+    print("indices loaded")
+    app = make_app(clip_resources, default_backend, None, url_column)
+    serve(app, port)

@@ -1,0 +1,460 @@
+"""KnnService: query encoding on TPU + index search + post-filtering.
+
+Framework-free port of the reference's service logic
+(`/root/reference/clip_retrieval/clip_back.py:200-507`): same query semantics
+(text / base64 image / image url / raw embedding, aesthetic steering), same
+dynamic-nprobe rule (ceil(k/3000) for ≥100k result ids), same post filters
+(connected-components dedup via range_search@0.94, violence prompt argmax,
+NSFW threshold 0.5), same response shape ({id, similarity, **metadata}).
+
+Query encoding runs as a jitted JAX program per resource (text tower or ViT),
+cached on first use.
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+import math
+import os
+import ssl
+import urllib.request
+from collections import defaultdict
+from io import BytesIO
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..index.flat import FlatIndex
+from ..models import clip as jclip
+from ..models import safety as safety_mod
+from ..models.preprocess import decode_resize_center_crop
+from . import metrics as M
+
+
+def normalized(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    l2 = np.atleast_1d(np.linalg.norm(a, 2, axis))
+    l2[l2 == 0] = 1
+    return a / np.expand_dims(l2, axis)
+
+
+@M.DOWNLOAD_TIME.time()
+def download_image(url: str) -> BytesIO:
+    req = urllib.request.Request(
+        url,
+        data=None,
+        headers={
+            "User-Agent": "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) "
+            "Gecko/20100101 Firefox/72.0"
+        },
+    )
+    ctx = ssl.create_default_context()
+    ctx.set_alpn_protocols(["http/1.1"])
+    with urllib.request.urlopen(req, timeout=10, context=ctx) as r:
+        return BytesIO(r.read())
+
+
+def convert_metadata_to_base64(meta: Optional[dict]):
+    if meta is not None and "image_path" in meta:
+        path = meta["image_path"]
+        if isinstance(path, bytes):
+            path = path.decode()
+        if isinstance(path, str) and os.path.exists(path):
+            from PIL import Image
+
+            img = Image.open(path)
+            buffered = BytesIO()
+            img.convert("RGB").save(buffered, format="JPEG")
+            meta["image"] = base64.b64encode(buffered.getvalue()).decode(
+                "utf-8"
+            )
+
+
+def meta_to_dict(meta: dict) -> dict:
+    output = {}
+    for k, v in meta.items():
+        if isinstance(v, bytes):
+            v = v.decode()
+        elif type(v).__module__ == np.__name__:
+            v = v.item()
+        output[k] = v
+    return output
+
+
+class _Encoders:
+    """Cached jitted encode closures for one model bundle."""
+
+    def __init__(self, bundle):
+        import jax
+        import jax.numpy as jnp
+
+        self.bundle = bundle
+        cfg = bundle.cfg
+        params = bundle.params
+
+        @jax.jit
+        def encode_text(tokens):
+            return jclip.encode_text(params, cfg, tokens)
+
+        @jax.jit
+        def encode_image(images):
+            return jclip.encode_image(params, cfg, images)
+
+        self._encode_text = encode_text
+        self._encode_image = encode_image
+        self._jnp = jnp
+
+    def text(self, text: str) -> np.ndarray:
+        with M.TEXT_PREPRO_TIME.time():
+            tokens = self.bundle.tokenize([text])
+        with M.TEXT_CLIP_INFERENCE_TIME.time():
+            return np.asarray(
+                self._encode_text(self._jnp.asarray(tokens))
+            ).astype(np.float32)
+
+    def image(self, img_data: BytesIO) -> np.ndarray:
+        with M.IMAGE_PREPRO_TIME.time():
+            arr = decode_resize_center_crop(
+                img_data.read(), self.bundle.cfg.image_size
+            )
+        with M.IMAGE_CLIP_INFERENCE_TIME.time():
+            return np.asarray(
+                self._encode_image(self._jnp.asarray(arr[None]))
+            ).astype(np.float32)
+
+
+class KnnService:
+    """The callable core behind the /knn-service endpoint."""
+
+    def __init__(self, clip_resources: Dict[str, Any]):
+        self.clip_resources = clip_resources
+        self._encoders: dict[str, _Encoders] = {}
+
+    def _enc(self, indice_name: str) -> _Encoders:
+        if indice_name not in self._encoders:
+            self._encoders[indice_name] = _Encoders(
+                self.clip_resources[indice_name].bundle
+            )
+        return self._encoders[indice_name]
+
+    # -- query embedding ---------------------------------------------------
+
+    def compute_query(
+        self,
+        clip_resource,
+        indice_name: str,
+        text_input,
+        image_input,
+        image_url_input,
+        embedding_input,
+        use_mclip: bool,
+        aesthetic_score,
+        aesthetic_weight,
+    ) -> np.ndarray:
+        enc = self._enc(indice_name)
+        if text_input is not None and text_input != "":
+            query = enc.text(text_input)
+        elif image_input is not None or image_url_input is not None:
+            if image_input is not None:
+                img_data = BytesIO(base64.b64decode(image_input))
+            else:
+                img_data = download_image(image_url_input)
+            query = enc.image(img_data)
+        elif embedding_input is not None:
+            query = np.expand_dims(
+                np.array(embedding_input).astype("float32"), 0
+            )
+        else:
+            raise ValueError("empty query")
+
+        if (
+            clip_resource.aesthetic_embeddings is not None
+            and aesthetic_score is not None
+            and aesthetic_weight is not None
+            and aesthetic_score in clip_resource.aesthetic_embeddings
+        ):
+            emb = clip_resource.aesthetic_embeddings[aesthetic_score]
+            query = query + emb * aesthetic_weight
+            query = query / np.linalg.norm(query)
+        return query
+
+    # -- post filters ------------------------------------------------------
+
+    @staticmethod
+    def connected_components(neighbors: dict) -> list[list]:
+        seen: set = set()
+        groups = []
+        for start in neighbors:
+            if start in seen:
+                continue
+            comp, stack = [], {start}
+            while stack:
+                node = stack.pop()
+                seen.add(node)
+                stack |= set(neighbors[node]) - seen
+                comp.append(node)
+            groups.append(comp)
+        return groups
+
+    def get_non_uniques(
+        self, embeddings: np.ndarray, threshold: float = 0.94
+    ) -> list[int]:
+        index = FlatIndex(embeddings.shape[1])
+        index.add(embeddings.astype(np.float16))
+        lims, _, ids = index.range_search(embeddings, threshold)
+        same = defaultdict(list)
+        for i in range(embeddings.shape[0]):
+            for j in ids[lims[i] : lims[i + 1]]:
+                same[int(i)].append(int(j))
+        non_uniques: set[int] = set()
+        for group in self.connected_components(same):
+            non_uniques.update(group[1:])
+        return list(non_uniques)
+
+    def get_unsafe_items(
+        self, safety_model, embeddings: np.ndarray, threshold: float = 0.5
+    ) -> np.ndarray:
+        scores = safety_model.predict(
+            embeddings, batch_size=embeddings.shape[0]
+        )
+        x = np.array([e[0] for e in scores])
+        return np.where(x > threshold)[0]
+
+    def get_violent_items(
+        self, safety_prompts: np.ndarray, embeddings: np.ndarray
+    ) -> np.ndarray:
+        import jax.numpy as jnp
+
+        results = np.asarray(
+            safety_mod.violence_scores(
+                jnp.asarray(embeddings), jnp.asarray(safety_prompts)
+            )
+        )
+        return np.where(results == 1)[0]
+
+    def post_filter(
+        self,
+        safety_model,
+        embeddings: np.ndarray,
+        deduplicate: bool,
+        use_safety_model: bool,
+        use_violence_detector: bool,
+        violence_detector,
+    ) -> set:
+        to_remove: set = set()
+        if deduplicate:
+            with M.DEDUP_TIME.time():
+                to_remove = set(self.get_non_uniques(embeddings))
+        if use_violence_detector and violence_detector is not None:
+            to_remove |= set(
+                int(i)
+                for i in self.get_violent_items(violence_detector, embeddings)
+            )
+        if use_safety_model and safety_model is not None:
+            with M.SAFETY_TIME.time():
+                to_remove |= set(
+                    int(i)
+                    for i in self.get_unsafe_items(safety_model, embeddings)
+                )
+        return to_remove
+
+    # -- search ------------------------------------------------------------
+
+    def knn_search(
+        self,
+        query: np.ndarray,
+        modality: str,
+        num_result_ids: int,
+        clip_resource,
+        deduplicate: bool,
+        use_safety_model: bool,
+        use_violence_detector: bool,
+    ):
+        index = (
+            clip_resource.image_index
+            if modality == "image"
+            else clip_resource.text_index
+        )
+        if index is None:
+            raise ValueError(f"no index for modality {modality!r}")
+
+        with M.KNN_INDEX_TIME.time():
+            previous_nprobe = getattr(index, "nprobe", None)
+            if (
+                clip_resource.metadata_is_ordered_by_ivf
+                and num_result_ids >= 100000
+                and previous_nprobe is not None
+            ):
+                index.nprobe = math.ceil(num_result_ids / 3000)
+            distances, indices, embeddings = index.search_and_reconstruct(
+                query, num_result_ids
+            )
+            if clip_resource.metadata_is_ordered_by_ivf:
+                results = np.take(
+                    clip_resource.ivf_old_to_new_mapping, indices[0]
+                )
+            else:
+                results = indices[0]
+            if previous_nprobe is not None:
+                index.nprobe = previous_nprobe
+
+        # truncate at the first -1 (same as reference)
+        sentinels = np.where(results == -1)[0]
+        nb = sentinels[0] if len(sentinels) > 0 else len(results)
+        result_indices = results[:nb]
+        result_distances = distances[0][:nb]
+        result_embeddings = normalized(embeddings[0][:nb])
+
+        local_remove = self.post_filter(
+            clip_resource.safety_model,
+            result_embeddings,
+            deduplicate,
+            use_safety_model,
+            use_violence_detector,
+            clip_resource.violence_detector,
+        )
+        indices_to_remove = {int(result_indices[i]) for i in local_remove}
+        out_indices, out_distances = [], []
+        for ind, dist in zip(result_indices, result_distances):
+            if int(ind) not in indices_to_remove:
+                indices_to_remove.add(int(ind))
+                out_indices.append(ind)
+                out_distances.append(dist)
+        return out_distances, out_indices
+
+    # -- metadata join -----------------------------------------------------
+
+    def map_to_metadata(
+        self, indices, distances, num_images, metadata_provider,
+        columns_to_return,
+    ) -> List[dict]:
+        results = []
+        with M.METADATA_GET_TIME.time():
+            metas = metadata_provider.get(
+                indices[:num_images], columns_to_return
+            )
+        for key, (dist, ind) in enumerate(zip(distances, indices)):
+            output: dict = {}
+            meta = None if key + 1 > len(metas) else metas[key]
+            convert_metadata_to_base64(meta)
+            if meta is not None:
+                output.update(meta_to_dict(meta))
+            output["id"] = int(ind)
+            output["similarity"] = float(dist)
+            results.append(output)
+        return results
+
+    # -- entry -------------------------------------------------------------
+
+    def query(
+        self,
+        text_input=None,
+        image_input=None,
+        image_url_input=None,
+        embedding_input=None,
+        modality: str = "image",
+        num_images: int = 100,
+        num_result_ids: int = 100,
+        indice_name: str | None = None,
+        use_mclip: bool = False,
+        deduplicate: bool = True,
+        use_safety_model: bool = False,
+        use_violence_detector: bool = False,
+        aesthetic_score=None,
+        aesthetic_weight=None,
+    ) -> List[dict]:
+        if (
+            text_input is None
+            and image_input is None
+            and image_url_input is None
+            and embedding_input is None
+        ):
+            raise ValueError("must fill one of text, image and image url input")
+        if indice_name is None:
+            indice_name = next(iter(self.clip_resources.keys()))
+        clip_resource = self.clip_resources[indice_name]
+
+        query = self.compute_query(
+            clip_resource,
+            indice_name,
+            text_input,
+            image_input,
+            image_url_input,
+            embedding_input,
+            use_mclip,
+            aesthetic_score,
+            aesthetic_weight,
+        )
+        distances, indices = self.knn_search(
+            query,
+            modality=modality,
+            num_result_ids=num_result_ids,
+            clip_resource=clip_resource,
+            deduplicate=deduplicate,
+            use_safety_model=use_safety_model,
+            use_violence_detector=use_violence_detector,
+        )
+        if len(distances) == 0:
+            return []
+        return self.map_to_metadata(
+            indices,
+            distances,
+            num_images,
+            clip_resource.metadata_provider,
+            clip_resource.columns_to_return,
+        )
+
+    @M.FULL_KNN_REQUEST_TIME.time()
+    def handle_post(self, json_data: dict) -> List[dict]:
+        """Parse a /knn-service request body (same field contract as the
+        reference's post, clip_back.py:472-507)."""
+        aesthetic_score = json_data.get("aesthetic_score", "")
+        aesthetic_score = (
+            int(aesthetic_score) if aesthetic_score != "" else None
+        )
+        aesthetic_weight = json_data.get("aesthetic_weight", "")
+        aesthetic_weight = (
+            float(aesthetic_weight) if aesthetic_weight != "" else None
+        )
+        num_images = json_data["num_images"]
+        return self.query(
+            text_input=json_data.get("text"),
+            image_input=json_data.get("image"),
+            image_url_input=json_data.get("image_url"),
+            embedding_input=json_data.get("embedding_input"),
+            modality=json_data.get("modality", "image"),
+            num_images=num_images,
+            num_result_ids=json_data.get("num_result_ids", num_images),
+            indice_name=json_data.get("indice_name"),
+            use_mclip=json_data.get("use_mclip", False),
+            deduplicate=json_data.get("deduplicate", False),
+            use_safety_model=json_data.get("use_safety_model", False),
+            use_violence_detector=json_data.get(
+                "use_violence_detector", False
+            ),
+            aesthetic_score=aesthetic_score,
+            aesthetic_weight=aesthetic_weight,
+        )
+
+
+class MetadataService:
+    """POST /metadata — metadata for explicit ids."""
+
+    def __init__(self, clip_resources: Dict[str, Any]):
+        self.clip_resources = clip_resources
+
+    def handle_post(self, json_data: dict):
+        ids = json_data["ids"]
+        if len(ids) == 0:
+            return []
+        indice_name = json_data["indice_name"]
+        resource = self.clip_resources[indice_name]
+        metas = resource.metadata_provider.get(
+            ids, resource.columns_to_return
+        )
+        for meta in metas:
+            convert_metadata_to_base64(meta)
+        return [
+            {"id": item_id, "metadata": meta_to_dict(meta)}
+            for item_id, meta in zip(ids, metas)
+        ]

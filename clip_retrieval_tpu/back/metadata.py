@@ -1,0 +1,171 @@
+"""Metadata providers: parquet (RAM), hdf5 (contiguous-id cache), arrow (mmap).
+
+Same three interchangeable `get(ids, cols)` backends and the same lazy
+conversion cascade as the reference (`/root/reference/clip_retrieval/
+clip_back.py:521-653`): arrow = the scale path (zero-copy mmap), hdf5 = a
+one-time parquet→hdf5 cache (optionally re-ordered by IVF list order),
+parquet = in-RAM pandas for small corpora.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+from typing import Any, List, Sequence
+
+import numpy as np
+
+
+class ParquetMetadataProvider:
+    """In-RAM pandas over the metadata parquet shards."""
+
+    def __init__(self, parquet_folder: str):
+        import pandas as pd
+
+        self.metadata_df = pd.concat(
+            pd.read_parquet(p)
+            for p in sorted(Path(parquet_folder).glob("*.parquet"))
+        ).reset_index(drop=True)
+
+    def get(self, ids: Sequence[int], cols: List[str] | None = None):
+        available = self.metadata_df.columns.tolist()
+        cols = available if cols is None else [
+            c for c in available if c in set(cols)
+        ]
+        sub = self.metadata_df.iloc[list(ids)][cols]
+        return sub.to_dict(orient="records")
+
+
+def parquet_to_hdf5(
+    parquet_folder: str, output_hdf5_file: str, columns_to_return: List[str]
+):
+    """One-time conversion: parquet shards → one hdf5 with contiguous
+    columns (NaN/NUL scrubbed like the reference, clip_back.py:539-566)."""
+    import h5py
+    import pandas as pd
+
+    with h5py.File(output_hdf5_file, "w") as f:
+        ds = f.create_group("dataset")
+        for parquet_file in sorted(Path(parquet_folder).glob("*.parquet")):
+            df = pd.read_parquet(parquet_file)
+            for k in df.keys():
+                if k not in columns_to_return:
+                    continue
+                col = df[k]
+                if str(col.dtype) in ("float64", "float32"):
+                    col = col.fillna(0.0)
+                elif str(col.dtype) in ("int64", "int32"):
+                    col = col.fillna(0)
+                elif col.dtype == object:
+                    col = col.fillna("").str.replace("\x00", "", regex=False)
+                z = col.to_numpy()
+                if z.dtype == object:
+                    z = z.astype(h5py.string_dtype())
+                if k not in ds:
+                    ds.create_dataset(
+                        k, data=z, maxshape=(None,), compression="gzip"
+                    )
+                else:
+                    prev = len(ds[k])
+                    ds[k].resize((prev + len(z),))
+                    ds[k][prev:] = z
+
+
+class Hdf5MetadataProvider:
+    def __init__(self, hdf5_file: str):
+        import h5py
+
+        self.f = h5py.File(hdf5_file, "r")
+        self.ds = self.f["dataset"]
+
+    def get(self, ids: Sequence[int], cols: List[str] | None = None):
+        items: list[dict[str, Any]] = [{} for _ in ids]
+        keys = list(self.ds.keys())
+        cols = keys if cols is None else [c for c in keys if c in set(cols)]
+        for k in cols:
+            dset = self.ds[k]
+            for i, e in enumerate(ids):
+                items[i][k] = dset[e]
+        return items
+
+
+class ArrowMetadataProvider:
+    """Zero-copy mmap over arrow IPC files (the billion-scale path)."""
+
+    def __init__(self, arrow_folder: str):
+        import pyarrow as pa
+
+        arrow_files = [
+            str(a)
+            for a in sorted(Path(arrow_folder).glob("**/*"))
+            if a.is_file() and not a.name.endswith(".parquet")
+        ]
+        self.table = pa.concat_tables(
+            [
+                pa.ipc.RecordBatchFileReader(
+                    pa.memory_map(arrow_file, "r")
+                ).read_all()
+                for arrow_file in arrow_files
+            ]
+        )
+
+    def get(self, ids: Sequence[int], cols: List[str] | None = None):
+        import pyarrow as pa
+
+        names = self.table.schema.names
+        cols = names if cols is None else [c for c in names if c in set(cols)]
+        t = pa.concat_tables([self.table[i : i + 1] for i in ids])
+        return t.select(cols).to_pandas().to_dict("records")
+
+
+def load_metadata_provider(
+    indice_folder: str,
+    enable_hdf5: bool,
+    reorder_metadata_by_ivf_index: bool,
+    image_index,
+    columns_to_return: List[str],
+    use_arrow: bool,
+):
+    """Provider selection + lazy conversion cascade
+    (reference clip_back.py:618-653)."""
+    parquet_folder = indice_folder + "/metadata"
+    ivf_old_to_new_mapping = None
+    if use_arrow:
+        return ArrowMetadataProvider(parquet_folder), None
+    if enable_hdf5:
+        if reorder_metadata_by_ivf_index:
+            from ..index.metadata_order import (
+                Hdf5Sink,
+                external_sort_parquet,
+                get_old_to_new_mapping,
+                re_order_parquet,
+            )
+
+            hdf5_path = indice_folder + "/metadata_reordered.hdf5"
+            mapping_path = indice_folder + "/ivf_old_to_new_mapping.npy"
+            if not os.path.exists(mapping_path):
+                mapping = get_old_to_new_mapping(image_index)
+                mm = np.memmap(
+                    mapping_path, dtype="int64", mode="w+", shape=mapping.shape
+                )
+                mm[:] = mapping
+                mm.flush()
+                del mm
+            ivf_old_to_new_mapping = np.memmap(
+                mapping_path, dtype="int64", mode="r"
+            )
+            if not os.path.exists(hdf5_path):
+                with tempfile.TemporaryDirectory() as tmpdir:
+                    re_order_parquet(
+                        image_index, parquet_folder, tmpdir, columns_to_return
+                    )
+                    external_sort_parquet(
+                        Hdf5Sink(hdf5_path, columns_to_return), tmpdir
+                    )
+        else:
+            hdf5_path = indice_folder + "/metadata.hdf5"
+            if not os.path.exists(hdf5_path):
+                parquet_to_hdf5(parquet_folder, hdf5_path, columns_to_return)
+        return Hdf5MetadataProvider(hdf5_path), ivf_old_to_new_mapping
+    return ParquetMetadataProvider(parquet_folder), None

@@ -1,0 +1,111 @@
+"""Per-index resource bundle + multi-index loading.
+
+Reference: ClipResource / load_clip_index / load_clip_indices
+(`/root/reference/clip_retrieval/clip_back.py:769-787,862-949`)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+from ..index.store import load_index
+from ..models import safety as safety_mod
+from ..models import zoo
+from .metadata import load_metadata_provider
+from .options import ClipOptions, dict_to_clip_options
+
+LOGGER = logging.getLogger("clip_back")
+
+
+@dataclasses.dataclass
+class ClipResource:
+    bundle: Any  # zoo.ModelBundle (model params + tokenizer)
+    safety_model: Any
+    violence_detector: Any
+    aesthetic_embeddings: Any
+    metadata_provider: Any
+    image_index: Any
+    text_index: Any
+    ivf_old_to_new_mapping: Any
+    columns_to_return: List[str]
+    metadata_is_ordered_by_ivf: bool
+
+
+def load_clip_index(clip_options: ClipOptions) -> ClipResource:
+    bundle = zoo.load_model(clip_options.clip_model, clip_options.checkpoint)
+
+    safety_model = (
+        safety_mod.load_safety_model(clip_options.clip_model)
+        if clip_options.provide_safety_model
+        else None
+    )
+    violence_detector = (
+        safety_mod.load_violence_detector(clip_options.clip_model)
+        if clip_options.provide_violence_detector
+        else None
+    )
+    aesthetic_embeddings = (
+        safety_mod.get_aesthetic_embedding(clip_options.clip_model)
+        if clip_options.provide_aesthetic_embeddings
+        else None
+    )
+
+    folder = clip_options.indice_folder
+    image_path = folder + "/image.index"
+    text_path = folder + "/text.index"
+    LOGGER.info("loading indices from %s ...", folder)
+    image_index = (
+        load_index(image_path, clip_options.enable_faiss_memory_mapping)
+        if os.path.exists(image_path)
+        else None
+    )
+    text_index = (
+        load_index(text_path, clip_options.enable_faiss_memory_mapping)
+        if os.path.exists(text_path)
+        else None
+    )
+
+    LOGGER.info("loading metadata...")
+    metadata_provider, ivf_mapping = load_metadata_provider(
+        folder,
+        clip_options.enable_hdf5,
+        clip_options.reorder_metadata_by_ivf_index,
+        image_index,
+        clip_options.columns_to_return,
+        clip_options.use_arrow,
+    )
+
+    return ClipResource(
+        bundle=bundle,
+        safety_model=safety_model,
+        violence_detector=violence_detector,
+        aesthetic_embeddings=aesthetic_embeddings,
+        metadata_provider=metadata_provider,
+        image_index=image_index,
+        text_index=text_index,
+        ivf_old_to_new_mapping=ivf_mapping
+        if clip_options.reorder_metadata_by_ivf_index
+        else None,
+        columns_to_return=clip_options.columns_to_return,
+        metadata_is_ordered_by_ivf=clip_options.reorder_metadata_by_ivf_index,
+    )
+
+
+def load_clip_indices(
+    indices_paths: str, clip_options: ClipOptions
+) -> Dict[str, ClipResource]:
+    with open(indices_paths, "r", encoding="utf-8") as f:
+        indices = json.load(f)
+    clip_resources = {}
+    for name, value in indices.items():
+        if isinstance(value, str):
+            opts = dict_to_clip_options({"indice_folder": value}, clip_options)
+        elif isinstance(value, dict):
+            opts = dict_to_clip_options(value, clip_options)
+        else:
+            raise ValueError("Unknown type for indice_folder")
+        clip_resources[name] = load_clip_index(opts)
+    return clip_resources

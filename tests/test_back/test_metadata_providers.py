@@ -1,0 +1,111 @@
+"""Metadata provider + reordering + prepro tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clip_retrieval_tpu.back.metadata import (
+    ArrowMetadataProvider,
+    Hdf5MetadataProvider,
+    ParquetMetadataProvider,
+    parquet_to_hdf5,
+)
+from clip_retrieval_tpu.back.prepro import parquet_to_arrow
+from clip_retrieval_tpu.index import IVFPQIndex
+from clip_retrieval_tpu.index.metadata_order import (
+    DummySink,
+    external_sort_parquet,
+    get_old_to_new_mapping,
+    re_order_parquet,
+)
+
+
+@pytest.fixture()
+def meta_folder(tmp_path):
+    folder = tmp_path / "metadata"
+    folder.mkdir()
+    for shard in range(2):
+        n = 5
+        df = pd.DataFrame(
+            {
+                "caption": [f"cap {shard}-{i}" for i in range(n)],
+                "url": [f"http://x/{shard}/{i}" for i in range(n)],
+                "score": np.arange(n, dtype=np.float32) + 10 * shard,
+            }
+        )
+        df.to_parquet(folder / f"metadata_{shard}.parquet")
+    return str(folder)
+
+
+def test_parquet_provider(meta_folder):
+    p = ParquetMetadataProvider(meta_folder)
+    out = p.get([0, 7], ["caption", "url"])
+    assert out[0]["caption"] == "cap 0-0"
+    assert out[1]["caption"] == "cap 1-2"
+    assert "score" not in out[0]
+
+
+def test_hdf5_provider(meta_folder, tmp_path):
+    h5 = str(tmp_path / "meta.hdf5")
+    parquet_to_hdf5(meta_folder, h5, ["caption", "url", "score"])
+    p = Hdf5MetadataProvider(h5)
+    out = p.get([3, 9])
+    assert out[0]["caption"].decode() if isinstance(out[0]["caption"], bytes) else out[0]["caption"]
+    assert float(out[1]["score"]) == 14.0
+
+
+def test_arrow_provider(meta_folder, tmp_path):
+    arrow_dir = str(tmp_path / "arrow")
+    parquet_to_arrow(meta_folder, arrow_dir)
+    p = ArrowMetadataProvider(arrow_dir)
+    out = p.get([0, 9], ["caption"])
+    assert out[0]["caption"] == "cap 0-0"
+    assert out[1]["caption"] == "cap 1-4"
+
+
+def _tiny_ivf(n=10):
+    """IVF index with known list layout: ids reversed across 2 lists."""
+    rng = np.random.default_rng(0)
+    d, nlist, m = 8, 2, 4
+    list_ids = np.array([9, 7, 5, 3, 1, 8, 6, 4, 2, 0], np.int64)
+    offsets = np.array([0, 5, 10], np.int64)
+    return IVFPQIndex(
+        d=d,
+        coarse_centroids=rng.normal(size=(nlist, d)).astype(np.float32),
+        codebooks=rng.normal(size=(m, 256, d // m)).astype(np.float32),
+        rotation=None,
+        list_offsets=offsets,
+        list_ids=list_ids,
+        list_codes=rng.integers(0, 256, (n, m)).astype(np.uint8),
+    )
+
+
+def test_old_to_new_mapping():
+    ix = _tiny_ivf()
+    mapping = get_old_to_new_mapping(ix)
+    # old id 9 sits at position 0 of the ivf-ordered storage
+    assert mapping[9] == 0
+    assert mapping[0] == 9
+    np.testing.assert_array_equal(np.sort(mapping), np.arange(10))
+
+
+def test_reorder_and_external_sort(tmp_path):
+    ix = _tiny_ivf()
+    meta = tmp_path / "metadata"
+    meta.mkdir()
+    pd.DataFrame(
+        {"caption": [f"c{i}" for i in range(5)], "url": [f"u{i}" for i in range(5)]}
+    ).to_parquet(meta / "m_0.parquet")
+    pd.DataFrame(
+        {"caption": [f"c{i}" for i in range(5, 10)], "url": [f"u{i}" for i in range(5, 10)]}
+    ).to_parquet(meta / "m_1.parquet")
+
+    out = tmp_path / "reordered"
+    re_order_parquet(ix, str(meta), str(out), ["caption", "url"])
+    sink = DummySink()
+    external_sort_parquet(sink, str(out), buffer_size=3)
+    new_ids = [r["new_id"] for r in sink.rows]
+    assert new_ids == sorted(new_ids)
+    assert len(sink.rows) == 10
+    # row at new_id 0 must be old id 9 ("c9")
+    assert sink.rows[0]["caption"] == "c9"
