@@ -158,7 +158,8 @@ def score_index(index, shards: EmbeddingShards, n_queries: int = 100,
     recall = float(
         np.mean(
             [
-                len(set(gt[i]) & set(got[i])) / max(1, (gt[i] >= 0).sum())
+                len(set(gt[i][gt[i] >= 0]) & set(got[i][got[i] >= 0]))
+                / max(1, (gt[i] >= 0).sum())
                 for i in range(gt.shape[0])
             ]
         )

@@ -66,6 +66,7 @@ class ClipMapper:
         self.n_dev = self.mesh.devices.size
         rep = NamedSharding(self.mesh, P())
         dp = NamedSharding(self.mesh, P("dp"))
+        self.dp_sharding = dp
         # params: replicated once, in fp32 (matmul inputs are cast per-use)
         self.params = jax.device_put(self.bundle.params, rep)
 
@@ -94,7 +95,7 @@ class ClipMapper:
 
     # -- helpers ----------------------------------------------------------
 
-    def _padded(self, arr: np.ndarray) -> tuple[np.ndarray, int]:
+    def pad_batch(self, arr: np.ndarray) -> tuple[np.ndarray, int]:
         """Pad leading dim to the fixed batch size (≥ multiple of n_dev)."""
         n = arr.shape[0]
         target = max(self.batch_size, self.n_dev)
@@ -104,6 +105,8 @@ class ClipMapper:
             pad = np.zeros((target - n, *arr.shape[1:]), dtype=arr.dtype)
             arr = np.concatenate([arr, pad])
         return arr, n
+
+    _padded = pad_batch  # backwards-compatible alias
 
     def warmup(self, batch_size: int | None = None):
         cfg = self.bundle.cfg
@@ -130,13 +133,26 @@ class ClipMapper:
     # -- main entry -------------------------------------------------------
 
     def __call__(self, batch: dict[str, Any]) -> dict[str, Any]:
+        from .staging import STAGED_KEY
+
         out: dict[str, Any] = {}
         img_dev = txt_dev = None
+        staged_n = batch.get(STAGED_KEY)
         # dispatch both towers before synchronizing either (async dispatch)
         if self.enable_image:
-            img_dev = self._embed_padded_images(batch["image_tensor"])
+            if staged_n is not None:  # already padded + device-resident
+                img_dev = self._embed_images(self.params, batch["image_tensor"])[
+                    :staged_n
+                ]
+            else:
+                img_dev = self._embed_padded_images(batch["image_tensor"])
         if self.enable_text:
-            txt_dev = self._embed_padded_texts(batch["text_tokens"])
+            if staged_n is not None:
+                txt_dev = self._embed_texts(self.params, batch["text_tokens"])[
+                    :staged_n
+                ]
+            else:
+                txt_dev = self._embed_padded_texts(batch["text_tokens"])
         if img_dev is not None:
             out["image_embs"] = np.asarray(img_dev)
             out["image_filename"] = batch["image_filename"]

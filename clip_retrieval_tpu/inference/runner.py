@@ -82,9 +82,12 @@ class Runner:
                         "inference_duration": infer_s,
                         "write_duration": write_s,
                         "total_duration": end - begin,
-                        "sample_count": batch["image_tensor"].shape[0]
-                        if "image_tensor" in batch
-                        else batch["text_tokens"].shape[0],
+                        "sample_count": batch.get(
+                            "_staged_n",  # device-staged batches are padded
+                            batch["image_tensor"].shape[0]
+                            if "image_tensor" in batch
+                            else batch["text_tokens"].shape[0],
+                        ),
                     }
                 )
         finally:

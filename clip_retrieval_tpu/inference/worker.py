@@ -54,6 +54,8 @@ def worker(
     )
     bundle = mapper.bundle
 
+    from .staging import DeviceStagingReader
+
     def reader_builder(sampler):
         kwargs = dict(
             sampler=sampler,
@@ -67,15 +69,19 @@ def worker(
             enable_metadata=enable_metadata,
         )
         if input_format == "files":
-            return FilesReader(**kwargs)
-        if input_format == "webdataset":
-            return WebdatasetReader(
+            reader = FilesReader(**kwargs)
+        elif input_format == "webdataset":
+            reader = WebdatasetReader(
                 **kwargs,
                 wds_image_key=wds_image_key,
                 wds_caption_key=wds_caption_key,
                 cache_path=cache_path,
             )
-        raise ValueError(f"Unsupported input_format {input_format}")
+        else:
+            raise ValueError(f"Unsupported input_format {input_format}")
+        # device staging: pad + h2d one batch ahead so transfers overlap
+        # with the previous batch's compute
+        return DeviceStagingReader(reader, mapper)
 
     def writer_builder(partition_id):
         return NumpyWriter(
