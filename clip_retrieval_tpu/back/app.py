@@ -153,6 +153,7 @@ def clip_back(
     default_backend: str | None = None,
     url_column: str = "url",
     enable_mclip_option: bool = False,
+    mclip_model: str = "",
     clip_model: str = "ViT-B/32",
     checkpoint: str | None = None,
     use_jit: bool = True,
@@ -176,6 +177,7 @@ def clip_back(
             columns_to_return=columns_to_return,
             reorder_metadata_by_ivf_index=reorder_metadata_by_ivf_index,
             enable_mclip_option=enable_mclip_option,
+            mclip_model=mclip_model,
             use_jit=use_jit,
             use_arrow=use_arrow,
             provide_safety_model=provide_safety_model,

@@ -153,7 +153,15 @@ class KnnService:
     ) -> np.ndarray:
         enc = self._enc(indice_name)
         if text_input is not None and text_input != "":
-            query = enc.text(text_input)
+            if use_mclip and clip_resource.model_txt_mclip is not None:
+                with M.TEXT_CLIP_INFERENCE_TIME.time():
+                    query = normalized(
+                        clip_resource.model_txt_mclip(text_input).astype(
+                            np.float32
+                        )
+                    )
+            else:
+                query = enc.text(text_input)
         elif image_input is not None or image_url_input is not None:
             if image_input is not None:
                 img_data = BytesIO(base64.b64decode(image_input))

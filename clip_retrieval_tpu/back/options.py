@@ -21,6 +21,7 @@ class ClipOptions:
     )
     reorder_metadata_by_ivf_index: bool = False
     enable_mclip_option: bool = False
+    mclip_model: str = ""
     use_jit: bool = True
     use_arrow: bool = False
     provide_safety_model: bool = False

@@ -23,6 +23,7 @@ LOGGER = logging.getLogger("clip_back")
 @dataclasses.dataclass
 class ClipResource:
     bundle: Any  # zoo.ModelBundle (model params + tokenizer)
+    model_txt_mclip: Any
     safety_model: Any
     violence_detector: Any
     aesthetic_embeddings: Any
@@ -36,6 +37,15 @@ class ClipResource:
 
 def load_clip_index(clip_options: ClipOptions) -> ClipResource:
     bundle = zoo.load_model(clip_options.clip_model, clip_options.checkpoint)
+
+    model_txt_mclip = None
+    if clip_options.enable_mclip_option and clip_options.mclip_model:
+        from ..models.mclip import load_mclip
+
+        try:
+            model_txt_mclip = load_mclip(clip_options.mclip_model)
+        except Exception as e:
+            LOGGER.warning("mCLIP unavailable (%s); use_mclip disabled", e)
 
     safety_model = (
         safety_mod.load_safety_model(clip_options.clip_model)
@@ -80,6 +90,7 @@ def load_clip_index(clip_options: ClipOptions) -> ClipResource:
 
     return ClipResource(
         bundle=bundle,
+        model_txt_mclip=model_txt_mclip,
         safety_model=safety_model,
         violence_detector=violence_detector,
         aesthetic_embeddings=aesthetic_embeddings,

@@ -50,11 +50,14 @@ class ClipMapper:
         self.enable_image = enable_image
         self.enable_text = enable_text
         self.batch_size = batch_size
+        self.use_mclip = use_mclip
+        self.mclip = None
         if use_mclip:
-            raise NotImplementedError(
-                "mCLIP text encoding is not wired up yet (requires a local "
-                "M-CLIP checkpoint; see models/zoo.py)"
-            )
+            # reference mapper swaps the text path for sentence-transformers
+            # mCLIP (mapper.py:44-47,62-63); ours loads a local checkpoint
+            from ..models.mclip import load_mclip
+
+            self.mclip = load_mclip(mclip_model)
         self.bundle = zoo.load_model(clip_model, checkpoint)
         cfg = self.bundle.cfg
         on_tpu = jax.devices()[0].platform == "tpu"
@@ -147,7 +150,11 @@ class ClipMapper:
             else:
                 img_dev = self._embed_padded_images(batch["image_tensor"])
         if self.enable_text:
-            if staged_n is not None:
+            if self.mclip is not None:
+                # mCLIP encodes from raw text (reference mapper.py:62-63)
+                out["text_embs"] = self.mclip(batch["text"])
+                out["text"] = batch["text"]
+            elif staged_n is not None:
                 txt_dev = self._embed_texts(self.params, batch["text_tokens"])[
                     :staged_n
                 ]
