@@ -190,38 +190,72 @@ class IVFPQIndex:
         return self._search_host(queries, k, nprobe)
 
     def _search_host(self, queries: np.ndarray, k: int, nprobe: int):
-        """numpy scan over the CSR arrays (mmap-friendly)."""
+        """Host scan over the CSR arrays (mmap-friendly).  Uses the native
+        C++ OpenMP ADC scanner (native/adc_scan.cpp) when a toolchain is
+        available; numpy gather otherwise."""
+        from ..native import get_adc_lib
+
         qr = self._rotate(queries)
         coarse_scores = qr @ self.coarse_centroids.T  # (B, nlist)
         probe_idx = np.argpartition(-coarse_scores, nprobe - 1, axis=1)[
             :, :nprobe
         ]
         m, ksub, dsub = self.codebooks.shape
-        lut_all = np.einsum(
-            "bmd,mkd->bmk",
-            qr.reshape(qr.shape[0], m, dsub),
-            self.codebooks,
+        lut_all = np.ascontiguousarray(
+            np.einsum(
+                "bmd,mkd->bmk",
+                qr.reshape(qr.shape[0], m, dsub),
+                self.codebooks,
+            ),
+            np.float32,
         )  # (B, M, ksub)
+        lib = get_adc_lib() if ksub == 256 else None
+        sizes = self.list_sizes()
+        codes_arr = np.asarray(self.list_codes)
+        ids_arr = np.asarray(self.list_ids)
         out_vals = np.full((qr.shape[0], k), -np.inf, np.float32)
         out_ids = np.full((qr.shape[0], k), -1, np.int64)
         for b in range(qr.shape[0]):
-            scores_all, ids_all = [], []
-            for li in probe_idx[b]:
-                s, e = self.list_offsets[li], self.list_offsets[li + 1]
-                if e <= s:
-                    continue
-                codes = np.asarray(self.list_codes[s:e])  # (n, M)
-                lut = lut_all[b]  # (M, ksub)
-                sc = lut[np.arange(m)[None, :], codes.astype(np.int64)].sum(
-                    axis=1
-                )
-                sc = sc + coarse_scores[b, li]
-                scores_all.append(sc.astype(np.float32))
-                ids_all.append(np.asarray(self.list_ids[s:e]))
-            if not scores_all:
+            probes = np.ascontiguousarray(probe_idx[b], np.int32)
+            total = int(sizes[probes].sum())
+            if total == 0:
                 continue
-            sc = np.concatenate(scores_all)
-            ids = np.concatenate(ids_all)
+            if lib is not None:
+                sc = np.empty((total,), np.float32)
+                ids = np.empty((total,), np.int64)
+                coarse = np.ascontiguousarray(
+                    coarse_scores[b, probes], np.float32
+                )
+                n = lib.adc_scan_lists(
+                    codes_arr,
+                    ids_arr,
+                    self.list_offsets,
+                    probes,
+                    len(probes),
+                    lut_all[b],
+                    m,
+                    coarse,
+                    sc,
+                    ids,
+                )
+                sc, ids = sc[:n], ids[:n]
+            else:
+                scores_all, ids_all = [], []
+                lut = lut_all[b]
+                for li in probes:
+                    s, e = self.list_offsets[li], self.list_offsets[li + 1]
+                    if e <= s:
+                        continue
+                    codes = codes_arr[s:e]
+                    part = lut[
+                        np.arange(m)[None, :], codes.astype(np.int64)
+                    ].sum(axis=1)
+                    scores_all.append(
+                        (part + coarse_scores[b, li]).astype(np.float32)
+                    )
+                    ids_all.append(ids_arr[s:e])
+                sc = np.concatenate(scores_all)
+                ids = np.concatenate(ids_all)
             kk = min(k, sc.size)
             top = np.argpartition(-sc, kk - 1)[:kk]
             order = top[np.argsort(-sc[top])]

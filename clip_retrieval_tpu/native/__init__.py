@@ -1,0 +1,91 @@
+"""Native (C++) runtime pieces, compiled on demand and cached.
+
+The reference's FLOP-heavy host code all lives in imported C++ (FAISS,
+Arrow, libjpeg).  Here the TPU owns the compute path; the host-side pieces
+that still need native speed (the mmap'd IVF-PQ ADC scan) are first-party
+C++ compiled once per machine with the system toolchain into
+`~/.cache/clip_retrieval_tpu/native/` and loaded via ctypes.  Everything
+degrades to numpy when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB: dict[str, Optional[ctypes.CDLL]] = {}
+
+
+def _cache_dir() -> str:
+    d = os.path.expanduser("~/.cache/clip_retrieval_tpu/native")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build(src_path: str, extra_flags: list[str]) -> Optional[ctypes.CDLL]:
+    with open(src_path, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src + b"\0".join(f.encode() for f in extra_flags)).hexdigest()[:16]
+    so_path = os.path.join(
+        _cache_dir(), f"{os.path.basename(src_path)}.{tag}.so"
+    )
+    if not os.path.exists(so_path):
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-march=native", "-fopenmp",
+            *extra_flags, src_path, "-o", so_path + ".tmp",
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            os.replace(so_path + ".tmp", so_path)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+            print(f"native build failed ({e}); using numpy fallback")
+            return None
+    try:
+        return ctypes.CDLL(so_path)
+    except OSError as e:
+        print(f"native load failed ({e}); using numpy fallback")
+        return None
+
+
+def get_adc_lib() -> Optional[ctypes.CDLL]:
+    """Compiled ADC scan library, or None (numpy fallback)."""
+    with _LOCK:
+        if "adc" not in _LIB:
+            src = os.path.join(os.path.dirname(__file__), "adc_scan.cpp")
+            lib = _build(src, [])
+            if lib is not None:
+                import numpy as np
+                from numpy.ctypeslib import ndpointer
+
+                lib.adc_scan_block.restype = None
+                lib.adc_scan_block.argtypes = [
+                    ndpointer(np.uint8, flags="C"),
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                    ndpointer(np.float32, flags="C"),
+                    ctypes.c_float,
+                    ndpointer(np.float32, flags="C"),
+                ]
+                lib.adc_scan_lists.restype = ctypes.c_int64
+                lib.adc_scan_lists.argtypes = [
+                    ndpointer(np.uint8, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                    ndpointer(np.int32, flags="C"),
+                    ctypes.c_int32,
+                    ndpointer(np.float32, flags="C"),
+                    ctypes.c_int32,
+                    ndpointer(np.float32, flags="C"),
+                    ndpointer(np.float32, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                ]
+            _LIB["adc"] = lib
+        return _LIB["adc"]

@@ -1,0 +1,63 @@
+// Native ADC scan for IVF-PQ host-path search (mmap'd indices beyond HBM).
+//
+// Plays the role of FAISS's C++ IndexIVFPQ scan loop, which the reference
+// gets for free via faiss (/root/reference/clip_retrieval/clip_back.py:362).
+// The TPU path handles device-resident indices; this covers the
+// memory-mapped billion-scale tier where the scan must run on host against
+// disk-backed pages.
+//
+// score[i] = sum_m lut[m][codes[i][m]]   (+ caller-added coarse term)
+//
+// Layout: codes row-major (n, m) uint8; lut row-major (m, 256) float32.
+// OpenMP over rows; the inner loop is a pure table gather that vectorizes
+// with AVX2 gathers where available (-march=native).
+
+#include <cstdint>
+#include <cstddef>
+
+extern "C" {
+
+// Score one contiguous code block.
+void adc_scan_block(const uint8_t* codes, int64_t n, int32_t m,
+                    const float* lut, float base, float* out) {
+#pragma omp parallel for schedule(static) if (n > 4096)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* row = codes + i * m;
+    float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+    int32_t j = 0;
+    for (; j + 4 <= m; j += 4) {
+      acc0 += lut[(size_t)(j + 0) * 256 + row[j + 0]];
+      acc1 += lut[(size_t)(j + 1) * 256 + row[j + 1]];
+      acc2 += lut[(size_t)(j + 2) * 256 + row[j + 2]];
+      acc3 += lut[(size_t)(j + 3) * 256 + row[j + 3]];
+    }
+    float acc = (acc0 + acc1) + (acc2 + acc3);
+    for (; j < m; ++j) acc += lut[(size_t)j * 256 + row[j]];
+    out[i] = acc + base;
+  }
+}
+
+// Scan multiple inverted lists for one query.
+//   offsets: (nlist+1) CSR offsets into codes/ids
+//   probes:  (n_probe) list ids to scan
+//   coarse:  (n_probe) per-list additive term (q · centroid)
+// Writes concatenated scores and copies ids; returns total candidates.
+int64_t adc_scan_lists(const uint8_t* codes, const int64_t* ids,
+                       const int64_t* offsets, const int32_t* probes,
+                       int32_t n_probe, const float* lut, int32_t m,
+                       const float* coarse, float* out_scores,
+                       int64_t* out_ids) {
+  int64_t cursor = 0;
+  for (int32_t p = 0; p < n_probe; ++p) {
+    const int64_t s = offsets[probes[p]];
+    const int64_t e = offsets[probes[p] + 1];
+    const int64_t len = e - s;
+    if (len <= 0) continue;
+    adc_scan_block(codes + s * m, len, m, lut, coarse[p], out_scores + cursor);
+    for (int64_t i = 0; i < len; ++i) out_ids[cursor + i] = ids[s + i];
+    cursor += len;
+  }
+  return cursor;
+}
+
+}  // extern "C"
