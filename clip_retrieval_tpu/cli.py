@@ -12,8 +12,16 @@ from __future__ import annotations
 import argparse
 import ast
 import inspect
+import os
 import sys
 from typing import Any, Callable
+
+# persistent XLA compilation cache: first jit of a big tower costs minutes,
+# every later process start costs ~nothing
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
+)
 
 
 def _lazy_commands() -> dict[str, Callable[[], Callable]]:
