@@ -151,7 +151,6 @@ class KnnService:
         aesthetic_score,
         aesthetic_weight,
     ) -> np.ndarray:
-        enc = self._enc(indice_name)
         if text_input is not None and text_input != "":
             if use_mclip and clip_resource.model_txt_mclip is not None:
                 with M.TEXT_CLIP_INFERENCE_TIME.time():
@@ -161,13 +160,13 @@ class KnnService:
                         )
                     )
             else:
-                query = enc.text(text_input)
+                query = self._enc(indice_name).text(text_input)
         elif image_input is not None or image_url_input is not None:
             if image_input is not None:
                 img_data = BytesIO(base64.b64decode(image_input))
             else:
                 img_data = download_image(image_url_input)
-            query = enc.image(img_data)
+            query = self._enc(indice_name).image(img_data)
         elif embedding_input is not None:
             query = np.expand_dims(
                 np.array(embedding_input).astype("float32"), 0
