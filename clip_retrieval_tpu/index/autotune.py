@@ -26,6 +26,8 @@ class IndexParams:
     def index_key(self) -> str:
         if self.kind == "flat":
             return "Flat"
+        if self.kind == "flat_int8":
+            return "Flat8"
         key = f"IVF{self.nlist},PQ{self.m}x8"
         if self.use_opq:
             key = f"OPQ{self.m},{key}"
@@ -47,6 +49,8 @@ def parse_index_key(key: str, d: int) -> IndexParams:
     key = key.strip()
     if key.lower() == "flat":
         return IndexParams(kind="flat")
+    if key.lower() in ("flat8", "flatint8", "flat_int8"):
+        return IndexParams(kind="flat_int8")
     use_opq = False
     nlist = m = None
     for part in key.split(","):
@@ -86,6 +90,10 @@ def select_params(
     flat_bytes = n * d * 2  # fp16 vectors
     if n <= 100_000 and flat_bytes <= budget:
         return IndexParams(kind="flat")
+    # int8 brute force at MXU rate: the TPU-preferred tier whenever the
+    # quantized corpus fits the budget (device HBM across local chips)
+    if n * (d + 4) <= budget:
+        return IndexParams(kind="flat_int8")
     # IVF-PQ: per-vector cost ≈ m (codes) + 8 (id); fixed cost nlist*d*4
     nlist = 1 << max(6, min(17, round(math.log2(8 * math.sqrt(max(n, 1))))))
     while nlist > 64 and n / nlist < 39:  # faiss min points per centroid

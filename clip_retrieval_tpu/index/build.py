@@ -89,6 +89,18 @@ def build_index_from_shards(
             index.add(block)
         return index
 
+    if params.kind == "flat_int8":
+        from ..ops.int8mm import quantize_rows
+        from .sharded_flat import ShardedFlatIndex
+
+        q = np.empty((n, d), np.int8)
+        s = np.empty((n,), np.float32)
+        for start, block in shards.iter_chunks():
+            qb, sb = quantize_rows(block)
+            q[start : start + block.shape[0]] = qb
+            s[start : start + block.shape[0]] = sb
+        return ShardedFlatIndex(d, q, s)
+
     t0 = time.time()
     sample = shards.sample(min(train_points, n), seed)
     LOGGER.info("training on %d samples (d=%d)", sample.shape[0], d)

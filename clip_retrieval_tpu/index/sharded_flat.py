@@ -1,0 +1,200 @@
+"""Sharded int8 brute-force index: exact search at MXU rate over a mesh.
+
+The TPU-first serving tier (see ops/int8mm.py for why ADC gathers lose on
+TPU): vectors live **device-resident**, int8-quantized, row-sharded across
+all local chips via shard_map; a query batch broadcasts, every chip scores
+its shard with one int8 MXU matmul + local top-k, and the (B, k)-per-shard
+candidates are gathered and merged — the only cross-chip traffic is
+B × k × 8 bytes.  100M × 512-d int8 = 51 GB = 8 × 6.4 GB, i.e. one v5e-8
+host serves a 100M-vector corpus exactly (recall@10 ≈ 1.0) with per-batch
+work of B×N×d int8 MACs.
+
+Host-side artifacts stay mmap-able npy (same directory format family as
+flat.py); quantization happens at build or load time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.int8mm import quantize_rows
+from ..parallel.mesh import local_mesh
+
+
+class ShardedFlatIndex:
+    """Exact int8 IP index sharded over local devices."""
+
+    index_type = "flat_int8"
+
+    def __init__(
+        self,
+        d: int,
+        q_vectors: np.ndarray,  # (N, d) int8
+        scales: np.ndarray,  # (N,) f32
+        mesh: Mesh | None = None,
+    ):
+        self.d = d
+        self.q_vectors = q_vectors
+        self.scales = scales
+        self.mesh = mesh
+        self._device = None
+        self._search_fn = None
+        self.nprobe = None  # exact index: attribute kept for API parity
+
+    @property
+    def ntotal(self) -> int:
+        return int(self.q_vectors.shape[0])
+
+    @classmethod
+    def from_vectors(cls, x: np.ndarray, mesh: Mesh | None = None):
+        q, s = quantize_rows(x)
+        return cls(x.shape[1], q, s, mesh)
+
+    # -- device layout -----------------------------------------------------
+
+    def _ensure_device(self):
+        if self._device is not None:
+            return
+        mesh = self.mesh or local_mesh()
+        self.mesh = mesh
+        n_dev = mesh.devices.size
+        n = self.ntotal
+        pad = (-n) % n_dev
+        q = self.q_vectors
+        s = self.scales
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, self.d), np.int8)])
+            s = np.concatenate([s, np.zeros((pad,), np.float32)])
+        row_sh = NamedSharding(mesh, P("dp"))
+        self._device = {
+            "db": jax.device_put(np.ascontiguousarray(q), row_sh),
+            "scale": jax.device_put(np.ascontiguousarray(s), row_sh),
+            "padded_n": n + pad,
+        }
+
+        from functools import partial
+
+        n_shard = (n + pad) // n_dev
+
+        def shard_search(q_f32, db, db_scale, k):
+            # runs per shard: db (n_shard, d), returns local top-k with
+            # global ids (offset by shard index)
+            from ..ops.int8mm import quantize_rows_device
+
+            qq, q_scale = quantize_rows_device(q_f32)
+            acc = jax.lax.dot_general(
+                qq, db, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores = (
+                acc.astype(jnp.float32)
+                * q_scale[:, None]
+                * db_scale[None, :]
+            )
+            # padding rows have scale 0 → score 0; mask them to -inf
+            scores = jnp.where(db_scale[None, :] > 0, scores, -jnp.inf)
+            k_loc = min(k, scores.shape[1])  # shard may hold < k rows
+            vals, idx = jax.lax.top_k(scores, k_loc)
+            shard_id = jax.lax.axis_index("dp")
+            gids = idx.astype(jnp.int32) + shard_id * n_shard
+            # gather all shards' candidates
+            all_vals = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)
+            all_gids = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
+            mvals, midx = jax.lax.top_k(all_vals, k)
+            mgids = jnp.take_along_axis(all_gids, midx, axis=1)
+            return mvals, mgids
+
+        def search(q_f32, db, db_scale, k):
+            # outputs are identical on every shard after the all_gather
+            # + final top_k; disable the static replication check
+            kwargs = dict(
+                mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp")),
+                out_specs=(P(), P()),
+            )
+            try:
+                fn = jax.shard_map(
+                    partial(shard_search, k=k), check_vma=False, **kwargs
+                )
+            except TypeError:  # older jax spelling
+                fn = jax.shard_map(
+                    partial(shard_search, k=k), check_rep=False, **kwargs
+                )
+            return fn(q_f32, db, db_scale)
+
+        self._search_fn = jax.jit(search, static_argnames=("k",))
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.ntotal == 0:
+            b = np.asarray(queries).shape[0]
+            return (
+                np.full((b, k), -np.inf, np.float32),
+                np.full((b, k), -1, np.int64),
+            )
+        self._ensure_device()
+        k_eff = min(k, self.ntotal)
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        vals, ids = self._search_fn(
+            q, self._device["db"], self._device["scale"], k_eff
+        )
+        vals = np.asarray(vals)
+        ids = np.asarray(ids, np.int64)
+        ids[~np.isfinite(vals)] = -1
+        if k_eff < k:
+            vals = np.pad(
+                vals, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return vals, ids
+
+    def reconstruct_batch(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids)
+        return (
+            self.q_vectors[ids].astype(np.float32)
+            * self.scales[ids][:, None]
+        )
+
+    def search_and_reconstruct(self, queries: np.ndarray, k: int):
+        vals, ids = self.search(queries, k)
+        flat = ids.reshape(-1)
+        safe = np.where(flat >= 0, flat, 0)
+        recon = self.reconstruct_batch(safe).reshape(*ids.shape, self.d)
+        recon[ids < 0] = 0
+        return vals, ids, recon
+
+    # -- io ----------------------------------------------------------------
+
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "header.json"), "w") as f:
+            json.dump(
+                {
+                    "type": "flat_int8",
+                    "d": self.d,
+                    "ntotal": self.ntotal,
+                    "metric": "ip",
+                },
+                f,
+            )
+        np.save(os.path.join(path, "q_vectors.npy"), self.q_vectors)
+        np.save(os.path.join(path, "scales.npy"), self.scales)
+
+    @classmethod
+    def load(cls, path: str, mmap: bool = True) -> "ShardedFlatIndex":
+        with open(os.path.join(path, "header.json")) as f:
+            h = json.load(f)
+        mm = "r" if mmap else None
+        return cls(
+            h["d"],
+            np.load(os.path.join(path, "q_vectors.npy"), mmap_mode=mm),
+            np.load(os.path.join(path, "scales.npy")),
+        )

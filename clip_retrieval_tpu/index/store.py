@@ -18,6 +18,10 @@ def load_index(path: str, enable_mmap: bool = True):
         kind = json.load(f)["type"]
     if kind == "flat":
         return FlatIndex.load(path, mmap=enable_mmap)
+    if kind == "flat_int8":
+        from .sharded_flat import ShardedFlatIndex
+
+        return ShardedFlatIndex.load(path, mmap=enable_mmap)
     if kind == "ivfpq":
         return IVFPQIndex.load(path, mmap=enable_mmap)
     raise ValueError(f"unknown index type {kind!r}")
