@@ -77,7 +77,13 @@ def _lazy_commands() -> dict[str, Callable[[], Callable]]:
 
         return fn
 
+    def convert():
+        from .models.convert import convert as fn
+
+        return fn
+
     return {
+        "convert": convert,
         "inference": inference,
         "index": index,
         "filter": filter_,

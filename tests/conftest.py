@@ -21,6 +21,17 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(items):
+    """Run the multi-device collective tests first: jax 0.9's CPU backend
+    intermittently aborts (SIGABRT in buffer readback) when a donated
+    shard_map/collective program executes after hundreds of other programs
+    in the same process. Running them on a fresh runtime sidesteps the
+    upstream bug; tracked for revisit on a jax upgrade."""
+    items.sort(
+        key=lambda it: 0 if "test_parallel" in str(it.fspath) else 1
+    )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
