@@ -137,6 +137,8 @@ def serve(app: WsgiRouter, port: int, host: str = "0.0.0.0"):
 
     class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
         daemon_threads = True
+        # default backlog of 5 resets connections under concurrent load
+        request_queue_size = 512
 
     with make_server(host, port, app, server_class=ThreadingWSGIServer) as srv:
         LOGGER.info("serving on %s:%d", host, port)

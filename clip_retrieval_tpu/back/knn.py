@@ -82,11 +82,15 @@ def meta_to_dict(meta: dict) -> dict:
 
 
 class _Encoders:
-    """Cached jitted encode closures for one model bundle."""
+    """Cached jitted encode closures for one model bundle, with server-side
+    micro-batching: concurrent requests share one device batch (padded to
+    power-of-two buckets so jit programs are reused)."""
 
-    def __init__(self, bundle):
+    def __init__(self, bundle, max_batch: int = 64, max_wait_ms: float = 3.0):
         import jax
         import jax.numpy as jnp
+
+        from .batching import MicroBatcher
 
         self.bundle = bundle
         cfg = bundle.cfg
@@ -104,13 +108,48 @@ class _Encoders:
         self._encode_image = encode_image
         self._jnp = jnp
 
+        def _bucket(n: int) -> int:
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+
+        def run_text_batch(texts):
+            tokens = self.bundle.tokenize(list(texts))
+            n = tokens.shape[0]
+            pad = _bucket(n) - n
+            if pad:
+                tokens = np.concatenate(
+                    [tokens, np.zeros((pad, tokens.shape[1]), tokens.dtype)]
+                )
+            feats = np.asarray(
+                encode_text(jnp.asarray(tokens))
+            ).astype(np.float32)[:n]
+            return [feats[i : i + 1] for i in range(n)]
+
+        def run_image_batch(arrays):
+            batch = np.stack(arrays)
+            n = batch.shape[0]
+            pad = _bucket(n) - n
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
+                )
+            feats = np.asarray(
+                encode_image(jnp.asarray(batch))
+            ).astype(np.float32)[:n]
+            return [feats[i : i + 1] for i in range(n)]
+
+        self._text_batcher = MicroBatcher(
+            run_text_batch, max_batch, max_wait_ms, name="text-encode"
+        )
+        self._image_batcher = MicroBatcher(
+            run_image_batch, max_batch, max_wait_ms, name="image-encode"
+        )
+
     def text(self, text: str) -> np.ndarray:
-        with M.TEXT_PREPRO_TIME.time():
-            tokens = self.bundle.tokenize([text])
         with M.TEXT_CLIP_INFERENCE_TIME.time():
-            return np.asarray(
-                self._encode_text(self._jnp.asarray(tokens))
-            ).astype(np.float32)
+            return self._text_batcher.submit(text)
 
     def image(self, img_data: BytesIO) -> np.ndarray:
         with M.IMAGE_PREPRO_TIME.time():
@@ -118,9 +157,7 @@ class _Encoders:
                 img_data.read(), self.bundle.cfg.image_size
             )
         with M.IMAGE_CLIP_INFERENCE_TIME.time():
-            return np.asarray(
-                self._encode_image(self._jnp.asarray(arr[None]))
-            ).astype(np.float32)
+            return self._image_batcher.submit(arr)
 
 
 class KnnService:

@@ -67,11 +67,11 @@ def sdpa(
     TPU when the shape is worth it (long-ish sequences), else the XLA path.
     """
     if impl == "auto":
+        # measured on v5e (ViT-L/14, S=257): XLA's fused attention matches the
+        # Pallas kernel at CLIP sequence lengths; keep XLA unless forced
         impl = "xla"
-        if _on_tpu() and os.environ.get("CRT_DISABLE_FLASH") != "1":
-            # flash pays off once seq is a few hundred (H/14@336 = 577)
-            if q.shape[-2] >= 256 and q.shape[-1] in (64, 80, 128):
-                impl = "flash"
+        if os.environ.get("CRT_FORCE_FLASH") == "1" and _on_tpu():
+            impl = "flash"
     if impl == "flash":
         from . import flash
 

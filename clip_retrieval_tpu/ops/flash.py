@@ -57,9 +57,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     sq_p = _round_up(sq, 8)
     sk_p = _round_up(sk, 8)
-    d_p = _round_up(d, 128)
+    # keep D unpadded: Mosaic handles 64-lane tiles, and padding D to 128
+    # doubles the QK/PV matmul FLOPs (measured strictly worse on v5e)
+    d_p = d
     pad = lambda x, s: jnp.pad(
-        x, ((0, 0), (0, 0), (0, s - x.shape[2]), (0, d_p - d))
+        x, ((0, 0), (0, 0), (0, s - x.shape[2]), (0, 0))
     )
     qp = pad(q, sq_p).reshape(b * h, sq_p, d_p)
     kp = pad(k, sk_p).reshape(b * h, sk_p, d_p)
@@ -68,8 +70,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     kernel = functools.partial(
         _attn_kernel, kv_len=sk, scale=scale, causal=causal
     )
+    interpret = jax.devices()[0].platform != "tpu"  # CPU tests: interpret mode
     out = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(b * h,),
         in_specs=[
             pl.BlockSpec((1, sq_p, d_p), lambda i: (i, 0, 0),

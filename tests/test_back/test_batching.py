@@ -1,0 +1,62 @@
+"""Micro-batching: correctness under concurrency, error propagation."""
+
+import threading
+import time
+
+import numpy as np
+
+from clip_retrieval_tpu.back.batching import MicroBatcher
+
+
+def test_batches_aggregate():
+    seen_batches = []
+
+    def fn(payloads):
+        seen_batches.append(len(payloads))
+        return [p * 2 for p in payloads]
+
+    mb = MicroBatcher(fn, max_batch=16, max_wait_ms=30)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(12) as ex:
+        results = list(ex.map(mb.submit, range(12)))
+    assert results == [i * 2 for i in range(12)]
+    assert max(seen_batches) > 1  # concurrency actually batched
+
+
+def test_single_request_latency_bounded():
+    mb = MicroBatcher(lambda ps: ps, max_batch=64, max_wait_ms=10)
+    t0 = time.perf_counter()
+    assert mb.submit("x") == "x"
+    assert time.perf_counter() - t0 < 0.5
+
+
+def test_error_propagates_per_item():
+    def fn(payloads):
+        raise ValueError("boom")
+
+    mb = MicroBatcher(fn, max_batch=4, max_wait_ms=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        mb.submit(1)
+    # batcher still alive for later submissions
+    with pytest.raises(ValueError, match="boom"):
+        mb.submit(2)
+
+
+def test_encoder_batching_results_match_serial():
+    """Concurrent text encodes through _Encoders equal the serial results."""
+    from clip_retrieval_tpu.back.knn import _Encoders
+    from clip_retrieval_tpu.models import zoo
+
+    bundle = zoo.load_model("test-tiny")
+    enc = _Encoders(bundle, max_batch=8, max_wait_ms=20)
+    texts = [f"text number {i}" for i in range(10)]
+    serial = [enc.text(t) for t in texts]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(10) as ex:
+        parallel = list(ex.map(enc.text, texts))
+    for s, p in zip(serial, parallel):
+        np.testing.assert_allclose(s, p, atol=1e-5)

@@ -66,6 +66,7 @@ def live_server(tmp_path_factory):
 
     class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
         daemon_threads = True
+        request_queue_size = 512
 
     srv = make_server("127.0.0.1", port, app, server_class=ThreadingWSGIServer)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
