@@ -51,12 +51,26 @@ class Runner:
         self.output_partition_count = output_partition_count
 
     def __call__(self, partition_id: int):
+        import os
+
         sampler = Sampler(partition_id, self.output_partition_count)
         reader = self.reader_builder(sampler)
         writer = self.writer_builder(partition_id)
         mapper = self.mapper_builder()
         logger = self.logger_builder(partition_id)
         logger.start()
+        # optional device trace capture (SURVEY §5: the reference has no
+        # flamegraph profiler; we add jax.profiler behind an env flag)
+        profile_dir = os.environ.get("CRT_PROFILE_DIR")
+        profiling = False
+        if profile_dir and partition_id == 0:
+            try:
+                import jax.profiler
+
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            except Exception as e:
+                print(f"profiler unavailable: {e}")
         try:
             iterator = iter(reader)
             while True:
@@ -91,5 +105,12 @@ class Runner:
                     }
                 )
         finally:
+            if profiling:
+                try:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
             logger.end()
         writer.flush()
