@@ -115,7 +115,16 @@ def build_index_from_shards(
     else:
         sample_r = sample
 
-    coarse = kmeans_ops.kmeans(sample_r, params.nlist, niter=20, seed=seed)
+    import jax
+
+    mesh = None
+    if jax.local_device_count() > 1:  # shard coarse training over local chips
+        from ..parallel.mesh import local_mesh
+
+        mesh = local_mesh()
+    coarse = kmeans_ops.kmeans(
+        sample_r, params.nlist, niter=20, seed=seed, mesh=mesh
+    )
     coarse_np = np.asarray(coarse)
 
     # PQ on residuals of the training sample

@@ -139,8 +139,15 @@ def kmeans(
     niter: int = 20,
     seed: int = 0,
     max_points: int = 1 << 21,
+    mesh=None,
 ) -> jax.Array:
-    """Train k centroids on (a subsample of) x; returns (k, d) f32 on device."""
+    """Train k centroids on (a subsample of) x; returns (k, d) f32 on device.
+
+    With `mesh` (a 1-D "dp" jax Mesh), each Lloyd chunk is row-sharded
+    across the mesh: every device assigns its slice and XLA inserts the
+    psum for the segment sums over ICI — the multi-chip index-train path
+    (verified numerically identical to single-device in tests).
+    """
     x = np.asarray(x, np.float32)
     n = x.shape[0]
     rng = np.random.default_rng(seed)
@@ -160,12 +167,28 @@ def kmeans(
         jnp.asarray(init_x), jax.random.PRNGKey(seed), k
     )
     chunk = _chunk_rows(n, k)
+    if mesh is not None:  # chunk rows split evenly across devices
+        n_dev = mesh.devices.size
+        chunk = max(n_dev, chunk - chunk % n_dev)
     C = -(-n // chunk)
     pad = C * chunk - n
     if pad:
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
-    xc = jnp.asarray(x.reshape(C, chunk, -1))
-    return _kmeans_jit(xc, init, k, niter)
+    xc = x.reshape(C, chunk, -1)
+    if mesh is None:
+        return _kmeans_jit(jnp.asarray(xc), init, k, niter)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    data_sh = NamedSharding(mesh, P(None, axis, None))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        functools.partial(_kmeans_jit.__wrapped__, k=k, niter=niter),
+        in_shardings=(data_sh, rep),
+        out_shardings=rep,
+    )
+    return fn(jax.device_put(xc, data_sh), jax.device_put(init, rep))
 
 
 def kmeans_multi(
