@@ -80,6 +80,7 @@ def build_index_from_shards(
     nprobe: int = 16,
     train_points: int = 1 << 20,
     seed: int = 0,
+    refine: bool = False,
 ):
     """Train + encode an index over all shard rows (ids = global row order)."""
     n, d = shards.total, shards.d
@@ -154,6 +155,14 @@ def build_index_from_shards(
     offsets = np.zeros((params.nlist + 1,), np.int64)
     np.cumsum(counts, out=offsets[1:])
 
+    refine_vectors = None
+    if refine:  # exact re-ranking store: original fp16 vectors in id order
+        refine_vectors = np.empty((n, d), np.float16)
+        for start, block in shards.iter_chunks():
+            refine_vectors[start : start + block.shape[0]] = block.astype(
+                np.float16
+            )
+
     return IVFPQIndex(
         d=d,
         coarse_centroids=coarse_np,
@@ -163,6 +172,7 @@ def build_index_from_shards(
         list_ids=list_ids,
         list_codes=list_codes,
         nprobe=nprobe,
+        refine_vectors=refine_vectors,
     )
 
 
@@ -196,6 +206,7 @@ def quantize(
     index_key: str | None,
     nprobe: int,
     compute_recall: bool,
+    refine: bool = False,
 ):
     shards = EmbeddingShards(embeddings_path)
     params = select_params(
@@ -205,7 +216,9 @@ def quantize(
         "building %s over %d×%d", params.index_key, shards.total, shards.d
     )
     t0 = time.time()
-    index = build_index_from_shards(shards, params, nprobe=nprobe)
+    index = build_index_from_shards(
+        shards, params, nprobe=nprobe, refine=refine
+    )
     index.save(index_path)
     infos = {
         "index_key": params.index_key,
@@ -231,6 +244,7 @@ def clip_index(
     index_key: str | None = None,
     nprobe: int = 16,
     compute_recall: bool = True,
+    refine: bool = False,
     nb_cores: int | None = None,  # accepted for CLI parity
 ):
     """Build image/text indices from an inference output folder."""
@@ -246,6 +260,7 @@ def clip_index(
             index_key,
             nprobe,
             compute_recall,
+            refine,
         )
     if os.path.exists(txt_path):
         quantize(
@@ -256,6 +271,7 @@ def clip_index(
             index_key,
             nprobe,
             compute_recall,
+            refine,
         )
     metadata_src = os.path.join(embeddings_folder, "metadata")
     if copy_metadata and os.path.exists(metadata_src):

@@ -82,6 +82,8 @@ class IVFPQIndex:
         list_ids: np.ndarray,
         list_codes: np.ndarray,
         nprobe: int = 16,
+        refine_vectors: np.ndarray | None = None,
+        rerank_factor: int = 4,
     ):
         self.d = d
         self.coarse_centroids = np.asarray(coarse_centroids, np.float32)
@@ -93,6 +95,12 @@ class IVFPQIndex:
         self.list_ids = list_ids  # may be mmap
         self.list_codes = list_codes  # may be mmap
         self.nprobe = nprobe
+        # optional exact re-ranking over original fp16 vectors (faiss
+        # IndexRefineFlat analogue): ADC selects rerank_factor*k candidates,
+        # the true vectors re-score them — lifts recall to near-exact while
+        # reading only rerank_factor*k mmap'd rows per query
+        self.refine_vectors = refine_vectors  # (ntotal, d) fp16, id order
+        self.rerank_factor = rerank_factor
         self._device = None
         self._id_to_pos = None
 
@@ -154,7 +162,34 @@ class IVFPQIndex:
         q = np.asarray(q, np.float32)
         return q if self.rotation is None else q @ self.rotation
 
+    def _rerank(self, queries: np.ndarray, vals: np.ndarray,
+                ids: np.ndarray, k: int):
+        """Exact re-score of ADC candidates against the stored fp16 rows."""
+        q = np.asarray(queries, np.float32)
+        out_vals = np.full((q.shape[0], k), -np.inf, np.float32)
+        out_ids = np.full((q.shape[0], k), -1, np.int64)
+        for b in range(q.shape[0]):
+            cand = ids[b][ids[b] >= 0]
+            if cand.size == 0:
+                continue
+            vecs = np.asarray(self.refine_vectors[cand], np.float32)
+            sc = vecs @ q[b]
+            kk = min(k, sc.size)
+            top = np.argpartition(-sc, kk - 1)[:kk]
+            order = top[np.argsort(-sc[top])]
+            out_vals[b, :kk] = sc[order]
+            out_ids[b, :kk] = cand[order]
+        return out_vals, out_ids
+
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.refine_vectors is not None and self.rerank_factor > 1:
+            vals, ids = self._search_adc(
+                queries, k * self.rerank_factor
+            )
+            return self._rerank(queries, vals, ids, k)
+        return self._search_adc(queries, k)
+
+    def _search_adc(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         if self.ntotal == 0:
             b = np.asarray(queries).shape[0]
             return (
@@ -315,6 +350,8 @@ class IVFPQIndex:
                     "ksub": int(self.codebooks.shape[1]),
                     "use_opq": self.rotation is not None,
                     "nprobe": self.nprobe,
+                    "has_refine": self.refine_vectors is not None,
+                    "rerank_factor": self.rerank_factor,
                 },
                 f,
             )
@@ -325,6 +362,11 @@ class IVFPQIndex:
         np.save(os.path.join(path, "list_offsets.npy"), self.list_offsets)
         np.save(os.path.join(path, "list_ids.npy"), np.asarray(self.list_ids))
         np.save(os.path.join(path, "list_codes.npy"), np.asarray(self.list_codes))
+        if self.refine_vectors is not None:
+            np.save(
+                os.path.join(path, "refine_vectors.npy"),
+                np.asarray(self.refine_vectors, np.float16),
+            )
 
     @classmethod
     def load(cls, path: str, mmap: bool = True) -> "IVFPQIndex":
@@ -334,6 +376,11 @@ class IVFPQIndex:
         rotation = None
         if h.get("use_opq"):
             rotation = np.load(os.path.join(path, "rotation.npy"))
+        refine = None
+        if h.get("has_refine"):
+            refine = np.load(
+                os.path.join(path, "refine_vectors.npy"), mmap_mode=mm
+            )
         return cls(
             d=h["d"],
             coarse_centroids=np.load(os.path.join(path, "coarse_centroids.npy")),
@@ -343,4 +390,6 @@ class IVFPQIndex:
             list_ids=np.load(os.path.join(path, "list_ids.npy"), mmap_mode=mm),
             list_codes=np.load(os.path.join(path, "list_codes.npy"), mmap_mode=mm),
             nprobe=h.get("nprobe", 16),
+            refine_vectors=refine,
+            rerank_factor=h.get("rerank_factor", 4),
         )
