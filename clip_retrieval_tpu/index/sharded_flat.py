@@ -50,6 +50,7 @@ class ShardedFlatIndex:
         self.nprobe = None  # exact index: attribute kept for API parity
         # approx_max_k (bucketed TPU top-k) is ~5x faster than full top_k at
         # 500k rows for ~0.98 recall; flip exact_topk for exact selection
+        # (set before the first search — it is baked into the jitted program)
         self.exact_topk = exact_topk
         self.recall_target = 0.95
 
