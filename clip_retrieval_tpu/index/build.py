@@ -90,6 +90,16 @@ def build_index_from_shards(
             index.add(block)
         return index
 
+    if params.kind == "ivf_int8":
+        from .ivf_int8 import IVFInt8Index
+
+        x = np.empty((n, d), np.float32)
+        for start, block in shards.iter_chunks():
+            x[start : start + block.shape[0]] = block
+        return IVFInt8Index.from_vectors(
+            x, nlist=params.nlist, nprobe=nprobe, seed=seed
+        )
+
     if params.kind == "flat_int8":
         from ..ops.int8mm import quantize_rows
         from .sharded_flat import ShardedFlatIndex

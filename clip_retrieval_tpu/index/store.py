@@ -22,6 +22,10 @@ def load_index(path: str, enable_mmap: bool = True):
         from .sharded_flat import ShardedFlatIndex
 
         return ShardedFlatIndex.load(path, mmap=enable_mmap)
+    if kind == "ivf_int8":
+        from .ivf_int8 import IVFInt8Index
+
+        return IVFInt8Index.load(path, mmap=enable_mmap)
     if kind == "ivfpq":
         return IVFPQIndex.load(path, mmap=enable_mmap)
     raise ValueError(f"unknown index type {kind!r}")

@@ -1,0 +1,87 @@
+"""IVF-pruned int8 index: recall vs exact, pruning semantics, persistence."""
+
+import numpy as np
+import pytest
+
+from clip_retrieval_tpu.index.flat import FlatIndex
+from clip_retrieval_tpu.index.ivf_int8 import IVFInt8Index
+from clip_retrieval_tpu.index.store import load_index
+from clip_retrieval_tpu.index.autotune import parse_index_key
+
+
+def _unit(x):
+    return (x / np.linalg.norm(x, axis=-1, keepdims=True)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    centers = _unit(rng.normal(size=(40, 64)))
+    x = _unit(
+        centers[rng.integers(0, 40, 8000)] + 0.15 * rng.normal(size=(8000, 64))
+    )
+    q = _unit(
+        centers[rng.integers(0, 40, 30)] + 0.15 * rng.normal(size=(30, 64))
+    )
+    return x, q
+
+
+def test_recall_increases_with_nprobe(data):
+    x, q = data
+    exact = FlatIndex(64)
+    exact.add(x)
+    _, gt = exact.search(q, 10)
+    ix = IVFInt8Index.from_vectors(x, nlist=64, nprobe=4)
+
+    def recall(u):
+        ix.nprobe = u
+        _, got = ix.search(q, 10)
+        return np.mean(
+            [len(set(gt[i]) & set(got[i])) / 10 for i in range(len(q))]
+        )
+
+    r4, r16, r64 = recall(4), recall(16), recall(64)
+    assert r4 <= r16 <= r64 + 1e-9
+    assert r64 >= 0.95  # approx_max_k bounded at its 0.95 recall target
+    assert r16 >= 0.9, (r4, r16, r64)
+    # exact top-k with all lists probed → int8-exact
+    ix.exact_topk = True
+    import clip_retrieval_tpu.index.ivf_int8 as mod
+
+    ix.nprobe = 64
+    _, got = ix.search(q, 10)
+    r_exact = np.mean(
+        [len(set(gt[i]) & set(got[i])) / 10 for i in range(len(q))]
+    )
+    assert r_exact >= 0.97, r_exact  # int8 rounding on tight clusters
+
+
+def test_batch_of_one(data):
+    x, q = data
+    ix = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16)
+    vals, ids = ix.search(x[:1], 5)
+    assert ids[0, 0] == 0
+    assert vals[0, 0] > 0.98
+
+
+def test_save_load_and_reconstruct(tmp_path, data):
+    x, q = data
+    ix = IVFInt8Index.from_vectors(x[:2000], nlist=32, nprobe=8)
+    path = str(tmp_path / "ivf8.index")
+    ix.save(path)
+    loaded = load_index(path)
+    assert isinstance(loaded, IVFInt8Index)
+    v1, i1 = ix.search(q[:4], 6)
+    v2, i2 = loaded.search(q[:4], 6)
+    np.testing.assert_array_equal(i1, i2)
+    _, ids, recon = loaded.search_and_reconstruct(q[:2], 3)
+    cos = (recon[0, 0] / np.linalg.norm(recon[0, 0])) @ x[ids[0, 0]]
+    assert cos > 0.995
+
+
+def test_index_key_parsing():
+    p = parse_index_key("IVF4096,Flat8", 512)
+    assert p.kind == "ivf_int8" and p.nlist == 4096
+    assert p.index_key == "IVF4096,Flat8"
+    p2 = parse_index_key("IVF128,INT8", 512)
+    assert p2.kind == "ivf_int8"
