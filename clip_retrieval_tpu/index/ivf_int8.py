@@ -18,9 +18,15 @@ device) and scans only probed lists:
   FAISS-style ADC here (see ops/int8mm.py);
 - approx_max_k top-k over the masked (B, U·Lmax) scores.
 
-Scan fraction U/nlist directly multiplies QPS vs the flat tier; recall is
-the IVF probe recall × int8 (≈1).  Like all list-grouped layouts, result
-ids are original vector ids (ids array is stored alongside).
+Scan fraction min(1, B·nprobe/nlist) divides cost vs the flat tier; recall
+is the IVF probe recall × int8 (≈1).  Probe recall is data-dependent as in
+any IVF (on isotropic high-d synthetic noise, neighbors scatter across many
+fine lists — measured 1M×512-d: recall@40 0.35 at nprobe 16 but 0.97 at
+nprobe 64, with scores exactly matching the flat scan; real CLIP
+embeddings have low intrinsic dimension and probe far better).  Size
+nlist ≫ B·nprobe for the pruning to bite: this tier targets small serving
+batches over large corpora; use the flat tier when B·nprobe ≈ nlist.
+Like all list-grouped layouts, result ids are original vector ids.
 """
 
 from __future__ import annotations
@@ -105,7 +111,7 @@ class IVFInt8Index:
         list_ids: np.ndarray,  # (N,) int64, grouped by list
         q_vectors: np.ndarray,  # (N, d) int8, grouped by list
         scales: np.ndarray,  # (N,) f32
-        nprobe: int = 32,
+        nprobe: int = 64,
         exact_topk: bool = False,
     ):
         self.d = d
@@ -136,7 +142,7 @@ class IVFInt8Index:
         cls,
         x: np.ndarray,
         nlist: int,
-        nprobe: int = 32,
+        nprobe: int = 64,
         kmeans_niter: int = 20,
         seed: int = 0,
     ) -> "IVFInt8Index":
@@ -270,5 +276,5 @@ class IVFInt8Index:
             np.load(os.path.join(path, "list_ids.npy"), mmap_mode=mm),
             np.load(os.path.join(path, "q_vectors.npy"), mmap_mode=mm),
             np.load(os.path.join(path, "scales.npy")),
-            nprobe=h.get("nprobe", 32),
+            nprobe=h.get("nprobe", 64),
         )
