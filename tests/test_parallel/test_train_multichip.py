@@ -1,4 +1,9 @@
-"""Multi-chip sharded train step on the 8-device virtual CPU mesh."""
+"""Multi-chip sharded train step on the 8-device virtual CPU mesh.
+
+The collective/donated-buffer programs run in fresh subprocesses (see
+subproc.py for the jax 0.9 CPU-backend SIGABRT this sidesteps); pure
+partition-rule checks run in-process.
+"""
 
 import numpy as np
 import pytest
@@ -10,59 +15,88 @@ from jax.sharding import Mesh
 from clip_retrieval_tpu.models.configs import TEST_TINY
 from clip_retrieval_tpu.parallel.train import (
     clip_contrastive_loss,
-    make_train_step,
-    param_pspec,
     tree_shardings,
 )
 
-
-def _mesh(dp, tp):
-    devs = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
-    return Mesh(devs, ("dp", "tp"))
-
-
-def _batch(cfg, n, seed=0):
-    rng = np.random.default_rng(seed)
-    images = rng.integers(
-        0, 255, (n, cfg.image_size, cfg.image_size, 3)
-    ).astype(np.uint8)
-    tokens = rng.integers(
-        1, cfg.vocab_size - 2, (n, cfg.context_length)
-    ).astype(np.int32)
-    return jnp.asarray(images), jnp.asarray(tokens)
+from .subproc import run_in_subprocess
 
 
 def test_train_step_runs_and_learns():
-    cfg = TEST_TINY
-    mesh = _mesh(4, 2)
-    with mesh:
-        init_fn, train_step = make_train_step(cfg, mesh, learning_rate=1e-3)
-        params, opt_state = init_fn(0)
-        images, tokens = _batch(cfg, 8)
-        losses = []
-        for _ in range(5):
-            params, opt_state, loss = train_step(
-                params, opt_state, images, tokens
-            )
-            losses.append(float(loss))
-        assert all(np.isfinite(losses))
-        assert losses[-1] < losses[0]  # overfits one batch
+    out = run_in_subprocess(
+        """
+        import numpy as np, jax, jax.numpy as jnp
+        from jax.sharding import Mesh
+        from clip_retrieval_tpu.models.configs import TEST_TINY
+        from clip_retrieval_tpu.parallel.train import make_train_step
 
-
-def test_tp_matches_single_device():
-    """Sharded execution must be numerically equivalent to 1-device."""
-    cfg = TEST_TINY
-    images, tokens = _batch(cfg, 8, seed=3)
-
-    results = []
-    for dp, tp in ((1, 1), (2, 4)):
-        mesh = _mesh(dp, tp)
+        cfg = TEST_TINY
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.integers(
+            0, 255, (8, cfg.image_size, cfg.image_size, 3)).astype(np.uint8))
+        tokens = jnp.asarray(rng.integers(
+            1, cfg.vocab_size - 2, (8, cfg.context_length)).astype(np.int32))
         with mesh:
             init_fn, train_step = make_train_step(cfg, mesh, learning_rate=1e-3)
             params, opt_state = init_fn(0)
-            _, _, loss = train_step(params, opt_state, images, tokens)
-            results.append(float(loss))
-    np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+            losses = []
+            for _ in range(5):
+                params, opt_state, loss = train_step(
+                    params, opt_state, images, tokens)
+                losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], losses
+        print("LOSSES", losses[0], losses[-1])
+        """
+    )
+    assert "LOSSES" in out
+
+
+def test_tp_matches_single_device():
+    out = run_in_subprocess(
+        """
+        import numpy as np, jax, jax.numpy as jnp
+        from jax.sharding import Mesh
+        from clip_retrieval_tpu.models.configs import TEST_TINY
+        from clip_retrieval_tpu.parallel.train import make_train_step
+
+        cfg = TEST_TINY
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(rng.integers(
+            0, 255, (8, cfg.image_size, cfg.image_size, 3)).astype(np.uint8))
+        tokens = jnp.asarray(rng.integers(
+            1, cfg.vocab_size - 2, (8, cfg.context_length)).astype(np.int32))
+        results = []
+        for dp, tp in ((1, 1), (2, 4)):
+            mesh = Mesh(np.array(jax.devices()[: dp * tp]).reshape(dp, tp),
+                        ("dp", "tp"))
+            with mesh:
+                init_fn, train_step = make_train_step(
+                    cfg, mesh, learning_rate=1e-3)
+                params, opt_state = init_fn(0)
+                _, _, loss = train_step(params, opt_state, images, tokens)
+                results.append(float(loss))
+        np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+        print("EQUAL", results)
+        """
+    )
+    assert "EQUAL" in out
+
+
+def test_graft_entry_dryrun():
+    out = run_in_subprocess(
+        """
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)
+        fn, (params, images) = mod.entry()
+        assert images.shape[0] == 8
+        """
+    )
+    assert "dryrun_multichip ok" in out
 
 
 def test_param_shardings_cover_tree():
@@ -70,36 +104,17 @@ def test_param_shardings_cover_tree():
     from clip_retrieval_tpu.models.clip import init_clip
 
     params = init_clip(cfg, 0)
-    mesh = _mesh(4, 2)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
     sh = tree_shardings(params, mesh)
     flat = jax.tree_util.tree_leaves_with_path(sh)
     specs = {
         "/".join(str(getattr(p, "key", p)) for p in path): s.spec
         for path, s in flat
     }
-    # spot-check the Megatron layout
     wq = [v for k, v in specs.items() if k.endswith("attn/wq")][0]
     assert tuple(wq) == (None, None, "tp")
     wo = [v for k, v in specs.items() if k.endswith("attn/wo")][0]
     assert tuple(wo) == (None, "tp", None)
-
-
-def test_graft_entry_dryrun():
-    import importlib.util
-    import os
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "__graft_entry__.py",
-    )
-    spec = importlib.util.spec_from_file_location("graft_entry", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
-    fn, (params, images) = mod.entry()
-    # flagship compile check is the driver's job (slow); here just check the
-    # tiny dryrun and that entry() returns a jittable closure + args
-    assert images.shape[0] == 8
 
 
 def test_contrastive_loss_sanity():
