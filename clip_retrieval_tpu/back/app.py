@@ -112,6 +112,7 @@ def make_app(
     router = WsgiRouter()
     knn = KnnService(clip_resources)
     meta = MetadataService(clip_resources)
+    router._knn = knn  # exposed for warmup/tests
 
     router.route("POST", "/knn-service", knn.handle_post)
     router.route("POST", "/metadata", meta.handle_post)
@@ -189,4 +190,22 @@ def clip_back(
     )
     print("indices loaded")
     app = make_app(clip_resources, default_backend, None, url_column)
+    # warm the query encoders + search programs so the first real request
+    # doesn't pay jit compilation (seconds with the persistent cache,
+    # minutes without)
+    for name in clip_resources:
+        try:
+            app._knn.query(
+                text_input="warmup",
+                modality="image"
+                if clip_resources[name].image_index is not None
+                else "text",
+                num_images=1,
+                num_result_ids=1,
+                indice_name=name,
+                deduplicate=False,
+            )
+            print(f"warmed index {name!r}")
+        except Exception as e:
+            print(f"warmup for {name!r} failed: {e}")
     serve(app, port)

@@ -27,6 +27,9 @@ class ClipOptions:
     provide_safety_model: bool = False
     provide_violence_detector: bool = False
     provide_aesthetic_embeddings: bool = True
+    nprobe: Optional[int] = None  # override the index's stored nprobe
+    rerank_factor: Optional[int] = None  # IVF-PQ refine over-fetch factor
+    warmup: bool = True  # encode a dummy query at boot (compile before traffic)
 
     def with_overrides(self, d: dict) -> "ClipOptions":
         known = {f.name for f in dataclasses.fields(self)}

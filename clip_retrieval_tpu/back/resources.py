@@ -78,6 +78,18 @@ def load_clip_index(clip_options: ClipOptions) -> ClipResource:
         else None
     )
 
+    # serve-time search parameter overrides (reference pokes nprobe through
+    # faiss ParameterSpace, clip_back.py:356-361)
+    for index in (image_index, text_index):
+        if index is None:
+            continue
+        if clip_options.nprobe is not None and hasattr(index, "nprobe"):
+            index.nprobe = clip_options.nprobe
+        if clip_options.rerank_factor is not None and hasattr(
+            index, "rerank_factor"
+        ):
+            index.rerank_factor = clip_options.rerank_factor
+
     LOGGER.info("loading metadata...")
     metadata_provider, ivf_mapping = load_metadata_provider(
         folder,
