@@ -123,6 +123,48 @@ class CLIPTokenizer:
         self.eot_token = self.encoder[EOT]
         self.vocab_size = len(vocab)
         self._cache: dict[str, str] = {SOT: SOT, EOT: EOT}
+        # rust-backed fast path (GIL-free, parallel encode_batch) when the
+        # `tokenizers` library is available; parity-tested vs the pure
+        # python BPE (html-unescape happens python-side in _clean)
+        self._fast = None
+        if os.environ.get("CRT_DISABLE_FAST_TOKENIZER") != "1":
+            try:
+                self._fast = self._build_fast(merges)
+            except Exception:
+                self._fast = None
+
+    def _build_fast(self, merges):
+        from tokenizers import (
+            Regex,
+            Tokenizer,
+            models as tk_models,
+            normalizers,
+            pre_tokenizers,
+        )
+
+        tok = Tokenizer(
+            tk_models.BPE(
+                vocab=dict(self.encoder),
+                merges=[tuple(m) for m in merges],
+                end_of_word_suffix="</w>",
+                fuse_unk=False,
+                unk_token=None,
+            )
+        )
+        tok.normalizer = normalizers.Sequence(
+            [normalizers.NFC(), normalizers.Lowercase()]
+        )
+        tok.pre_tokenizer = pre_tokenizers.Sequence(
+            [
+                pre_tokenizers.Split(
+                    Regex(_PAT.pattern), behavior="removed", invert=True
+                ),
+                pre_tokenizers.ByteLevel(
+                    add_prefix_space=False, use_regex=False
+                ),
+            ]
+        )
+        return tok
 
     @classmethod
     def byte_fallback(cls) -> "CLIPTokenizer":
@@ -197,8 +239,13 @@ class CLIPTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         out = np.zeros((len(texts), context_length), dtype=np.int32)
-        for row, text in enumerate(texts):
-            ids = [self.sot_token] + self.encode(text) + [self.eot_token]
+        if self._fast is not None:
+            encs = self._fast.encode_batch([_clean(t) for t in texts])
+            all_ids = [e.ids for e in encs]
+        else:
+            all_ids = [self.encode(t) for t in texts]
+        for row, body in enumerate(all_ids):
+            ids = [self.sot_token] + list(body) + [self.eot_token]
             if len(ids) > context_length:
                 ids = ids[:context_length]
                 ids[-1] = self.eot_token
