@@ -166,6 +166,28 @@ class KnnService:
     def __init__(self, clip_resources: Dict[str, Any]):
         self.clip_resources = clip_resources
         self._encoders: dict[str, _Encoders] = {}
+        self._search_batchers: dict[tuple, Any] = {}
+
+    def _search_batched(self, index, query: np.ndarray, k: int):
+        """Micro-batched index.search_and_reconstruct: concurrent requests
+        against the same (index, k) share one device search batch."""
+        from .batching import MicroBatcher
+
+        key = (id(index), k)
+        if key not in self._search_batchers:
+
+            def run_batch(queries, _index=index, _k=k):
+                batch = np.concatenate(queries, axis=0)
+                d, i, e = _index.search_and_reconstruct(batch, _k)
+                return [
+                    (d[j : j + 1], i[j : j + 1], e[j : j + 1])
+                    for j in range(batch.shape[0])
+                ]
+
+            self._search_batchers[key] = MicroBatcher(
+                run_batch, max_batch=32, max_wait_ms=3.0, name=f"search-k{k}"
+            )
+        return self._search_batchers[key].submit(query)
 
     def _enc(self, indice_name: str) -> _Encoders:
         if indice_name not in self._encoders:
@@ -339,23 +361,28 @@ class KnnService:
 
         with M.KNN_INDEX_TIME.time():
             previous_nprobe = getattr(index, "nprobe", None)
-            if (
+            poke_nprobe = (
                 clip_resource.metadata_is_ordered_by_ivf
                 and num_result_ids >= 100000
                 and previous_nprobe is not None
-            ):
-                index.nprobe = math.ceil(num_result_ids / 3000)
-            distances, indices, embeddings = index.search_and_reconstruct(
-                query, num_result_ids
             )
+            if poke_nprobe:
+                # dynamic-nprobe requests mutate index state; run unbatched
+                index.nprobe = math.ceil(num_result_ids / 3000)
+                distances, indices, embeddings = index.search_and_reconstruct(
+                    query, num_result_ids
+                )
+                index.nprobe = previous_nprobe
+            else:
+                distances, indices, embeddings = self._search_batched(
+                    index, np.asarray(query, np.float32), num_result_ids
+                )
             if clip_resource.metadata_is_ordered_by_ivf:
                 results = np.take(
                     clip_resource.ivf_old_to_new_mapping, indices[0]
                 )
             else:
                 results = indices[0]
-            if previous_nprobe is not None:
-                index.nprobe = previous_nprobe
 
         # truncate at the first -1 (same as reference)
         sentinels = np.where(results == -1)[0]
