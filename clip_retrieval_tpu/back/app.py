@@ -129,10 +129,28 @@ def make_app(
     return router
 
 
-def serve(app: WsgiRouter, port: int, host: str = "0.0.0.0"):
-    """Threaded WSGI server (one device-bound request at a time is fine:
-    query encode batches are tiny; heavy concurrency rides the GIL-released
-    device dispatch)."""
+def serve(
+    app: WsgiRouter, port: int, host: str = "0.0.0.0",
+    http_backend: str = "auto", worker_threads: int = 64,
+):
+    """Serve the router.
+
+    http_backend:
+      - "aiohttp" — async event loop handling thousands of connections;
+        handlers run in a thread pool (device work batches via the
+        MicroBatchers, so many in-flight requests share device batches);
+      - "wsgiref" — stdlib thread-per-connection server, zero deps;
+      - "auto"    — aiohttp when importable, else wsgiref.
+    """
+    if http_backend == "auto":
+        try:
+            import aiohttp  # noqa: F401
+
+            http_backend = "aiohttp"
+        except ImportError:
+            http_backend = "wsgiref"
+    if http_backend == "aiohttp":
+        return _serve_aiohttp(app, port, host, worker_threads)
     import socketserver
     from wsgiref.simple_server import WSGIServer, make_server
 
@@ -142,8 +160,95 @@ def serve(app: WsgiRouter, port: int, host: str = "0.0.0.0"):
         request_queue_size = 512
 
     with make_server(host, port, app, server_class=ThreadingWSGIServer) as srv:
-        LOGGER.info("serving on %s:%d", host, port)
+        LOGGER.info("serving on %s:%d (wsgiref)", host, port)
         srv.serve_forever()
+
+
+def _serve_aiohttp(
+    router: WsgiRouter, port: int, host: str, worker_threads: int
+):
+    """Async front end over the same route table."""
+    import asyncio
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aiohttp import web
+
+    pool = ThreadPoolExecutor(max_workers=worker_threads)
+
+    def make_handler(fn, is_post: bool):
+        async def handler(request: "web.Request") -> "web.Response":
+            loop = asyncio.get_running_loop()
+            try:
+                if is_post:
+                    body = await request.json() if request.can_read_body else {}
+                    result = await loop.run_in_executor(pool, fn, body)
+                else:
+                    result = await loop.run_in_executor(pool, fn)
+            except ValueError as e:
+                return web.json_response(
+                    {"error": str(e)}, status=400, headers=dict(_CORS_HEADERS)
+                )
+            except Exception as e:
+                LOGGER.error("request failed: %s", traceback.format_exc())
+                return web.json_response(
+                    {"error": str(e)}, status=500, headers=dict(_CORS_HEADERS)
+                )
+            if isinstance(result, tuple):
+                payload, ctype = result
+                data = payload if isinstance(payload, bytes) else str(
+                    payload
+                ).encode()
+                return web.Response(
+                    body=data, content_type=ctype.split(";")[0],
+                    headers=dict(_CORS_HEADERS),
+                )
+            return web.json_response(result, headers=dict(_CORS_HEADERS))
+
+        return handler
+
+    async def options_handler(request):
+        return web.Response(status=204, headers=dict(_CORS_HEADERS))
+
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    for (method, path), fn in router.routes.items():
+        app.router.add_route(method, path, make_handler(fn, method == "POST"))
+        app.router.add_route("OPTIONS", path, options_handler)
+    for mount, wsgi_app in router.wsgi_mounts.items():
+        # prometheus /metrics: tiny WSGI app driven inline
+        def make_wsgi_handler(wapp, mount=mount):
+            async def handler(request):
+                environ = {
+                    "REQUEST_METHOD": "GET",
+                    "PATH_INFO": "",
+                    "SCRIPT_NAME": mount,
+                    "QUERY_STRING": request.query_string,
+                    "SERVER_NAME": host,
+                    "SERVER_PORT": str(port),
+                    "wsgi.input": None,
+                    "wsgi.errors": None,
+                    "wsgi.url_scheme": "http",
+                }
+                captured = {}
+
+                def start_response(status, headers):
+                    captured["status"] = int(status.split()[0])
+                    captured["headers"] = headers
+
+                chunks = wapp(environ, start_response)
+                return web.Response(
+                    body=b"".join(chunks),
+                    status=captured.get("status", 200),
+                    headers=dict(captured.get("headers", []))
+                    | dict(_CORS_HEADERS),
+                )
+
+            return handler
+
+        app.router.add_route("GET", mount, make_wsgi_handler(wsgi_app))
+    LOGGER.info("serving on %s:%d (aiohttp)", host, port)
+    web.run_app(
+        app, host=host, port=port, print=None, handle_signals=False
+    )
 
 
 def clip_back(
@@ -164,6 +269,7 @@ def clip_back(
     provide_safety_model: bool = False,
     provide_violence_detector: bool = False,
     provide_aesthetic_embeddings: bool = True,
+    http_backend: str = "auto",
 ):
     """Main entry point: load indices and serve (reference clip_back.py:953)."""
     print("starting boot of clip back")
@@ -208,4 +314,4 @@ def clip_back(
             print(f"warmed index {name!r}")
         except Exception as e:
             print(f"warmup for {name!r} failed: {e}")
-    serve(app, port)
+    serve(app, port, http_backend=http_backend)
