@@ -59,8 +59,49 @@ def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
     )
 
 
+def combine_ivf_int8(indices):
+    """Merge IVF-int8 shard indices sharing coarse centroids (same
+    offset-table concatenation as the PQ variant)."""
+    from .ivf_int8 import IVFInt8Index
+
+    base = indices[0]
+    for other in indices[1:]:
+        if not np.allclose(base.coarse_centroids, other.coarse_centroids):
+            raise ValueError("shard indices trained differently (centroids)")
+    nlist = base.nlist
+    sizes = np.zeros((nlist,), np.int64)
+    for ix in indices:
+        sizes += ix.list_sizes()
+    offsets = np.zeros((nlist + 1,), np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    total = int(offsets[-1])
+    ids = np.empty((total,), np.int64)
+    q = np.empty((total, base.d), np.int8)
+    scales = np.empty((total,), np.float32)
+    cursor = offsets[:-1].copy()
+    for ix in indices:
+        offs = ix.list_offsets
+        for li in range(nlist):
+            s, e = offs[li], offs[li + 1]
+            m = int(e - s)
+            if m:
+                c = cursor[li]
+                ids[c : c + m] = ix.list_ids[s:e]
+                q[c : c + m] = ix.q_vectors[s:e]
+                scales[c : c + m] = ix.scales[s:e]
+                cursor[li] += m
+    return IVFInt8Index(
+        base.d, base.coarse_centroids, offsets, ids, q, scales,
+        nprobe=base.nprobe,
+    )
+
+
 def index_combiner(indices_folder: str, output_folder: str):
     """CLI entry: merge all index dirs under indices_folder into one."""
+    import json
+
+    from .store import load_index
+
     paths = sorted(
         p
         for p in glob.glob(os.path.join(indices_folder, "*"))
@@ -68,8 +109,18 @@ def index_combiner(indices_folder: str, output_folder: str):
     )
     if not paths:
         raise ValueError(f"no index directories in {indices_folder}")
-    indices = [IVFPQIndex.load(p) for p in paths]
-    merged = combine_ivfpq(indices)
+    with open(os.path.join(paths[0], "header.json")) as f:
+        kind = json.load(f)["type"]
+    indices = [load_index(p) for p in paths]
+    if kind == "ivfpq":
+        merged = combine_ivfpq(indices)
+    elif kind == "ivf_int8":
+        merged = combine_ivf_int8(indices)
+    else:
+        raise ValueError(
+            f"combiner supports list-based indices (ivfpq, ivf_int8); "
+            f"got {kind!r}"
+        )
     os.makedirs(output_folder, exist_ok=True)
     merged.save(os.path.join(output_folder, "populated.index"))
     return merged
