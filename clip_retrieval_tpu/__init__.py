@@ -16,3 +16,38 @@ Layer map mirrors the reference (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Top-level API matching the reference package's exports
+    (`from clip_retrieval import clip_inference, clip_index, clip_back, ...`),
+    resolved lazily so importing the package stays fast."""
+    if name == "clip_inference":
+        from .inference.main import main as clip_inference
+
+        return clip_inference
+    if name == "clip_index":
+        from .index.build import clip_index
+
+        return clip_index
+    if name == "clip_back":
+        from .back.app import clip_back
+
+        return clip_back
+    if name == "clip_filter":
+        from .filter import clip_filter
+
+        return clip_filter
+    if name == "clip_end2end":
+        from .end2end import clip_end2end
+
+        return clip_end2end
+    if name == "ClipClient":
+        from .client import ClipClient
+
+        return ClipClient
+    if name == "Modality":
+        from .client import Modality
+
+        return Modality
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
