@@ -82,8 +82,14 @@ def _lazy_commands() -> dict[str, Callable[[], Callable]]:
 
         return fn
 
+    def convert_nsfw_keras():
+        from .models.convert import convert_keras_nsfw as fn
+
+        return fn
+
     return {
         "convert": convert,
+        "convert.nsfw_keras": convert_nsfw_keras,
         "inference": inference,
         "index": index,
         "filter": filter_,

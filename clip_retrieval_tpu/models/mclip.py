@@ -323,28 +323,59 @@ class MCLIPBundle:
         return np.asarray(self._encode(jnp.asarray(ids), jnp.asarray(mask)))
 
 
+def _load_projection(model_dir: str):
+    """The text→CLIP-space projection, from any of the published layouts:
+
+    - projection.npz           {"w": (hidden, out), "b": (out,)} (our export)
+    - 2_Dense/pytorch_model.bin / model.safetensors   the standard
+      sentence-transformers Dense module the reference consumes directly
+      via SentenceTransformer (`clip_back.py:836-859`): keys
+      'linear.weight' (out, in) and 'linear.bias'.
+    """
+    proj_path = os.path.join(model_dir, "projection.npz")
+    if os.path.exists(proj_path):
+        with np.load(proj_path) as z:
+            return z["w"], (z["b"] if "b" in z.files else None)
+    dense_dir = os.path.join(model_dir, "2_Dense")
+    st_path = os.path.join(dense_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        import safetensors.numpy
+
+        sd = safetensors.numpy.load_file(st_path)
+        w = np.asarray(sd["linear.weight"], np.float32)
+        b = sd.get("linear.bias")
+        return w.T, (None if b is None else np.asarray(b, np.float32))
+    bin_path = os.path.join(dense_dir, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=False)
+        w = np.asarray(sd["linear.weight"].detach().numpy(), np.float32)
+        b = sd.get("linear.bias")
+        return w.T, (
+            None if b is None else np.asarray(b.detach().numpy(), np.float32)
+        )
+    raise FileNotFoundError(
+        f"no projection found in {model_dir}: expected projection.npz or "
+        "a sentence-transformers 2_Dense module "
+        "(pytorch_model.bin / model.safetensors)"
+    )
+
+
 def load_mclip(model_dir: str) -> MCLIPBundle:
     """Load an M-CLIP-style checkpoint from a local directory.
 
     Expected layout (sentence-transformers or M-CLIP export):
       config.json            HF encoder config
       pytorch_model.bin | model.npz     encoder weights
-      projection.npz         {"w": (hidden, out), "b": (out,)} (or
-                             2_Dense/pytorch_model.bin with 'linear.weight')
+      projection.npz or 2_Dense/       text→CLIP projection (see
+                                       _load_projection)
       tokenizer.json         tokenizers-library file
     """
     import transformers
 
     hf_cfg = transformers.AutoConfig.from_pretrained(model_dir)
-    proj_path = os.path.join(model_dir, "projection.npz")
-    if not os.path.exists(proj_path):
-        raise FileNotFoundError(
-            f"projection.npz missing in {model_dir} (export the M-CLIP "
-            "LinearTransformation / sentence-transformers Dense layer)"
-        )
-    with np.load(proj_path) as z:
-        proj_w = z["w"]
-        proj_b = z["b"] if "b" in z.files else None
+    proj_w, proj_b = _load_projection(model_dir)
     cfg = config_from_hf(hf_cfg, out_dim=proj_w.shape[1])
 
     model = transformers.AutoModel.from_pretrained(model_dir)
