@@ -36,6 +36,11 @@ class ClipResource:
 
 
 def load_clip_index(clip_options: ClipOptions) -> ClipResource:
+    if not clip_options.use_jit:
+        LOGGER.warning(
+            "use_jit=False is accepted for CLI parity but ignored — query "
+            "encoding is always a jitted XLA program"
+        )
     bundle = zoo.load_model(clip_options.clip_model, clip_options.checkpoint)
 
     model_txt_mclip = None

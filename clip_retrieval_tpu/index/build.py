@@ -258,6 +258,17 @@ def clip_index(
     nb_cores: int | None = None,  # accepted for CLI parity
 ):
     """Build image/text indices from an inference output folder."""
+    if current_memory_available != "16G":
+        print(
+            "WARNING: current_memory_available is accepted for CLI parity "
+            "with the reference (autofaiss) but ignored — the TPU build "
+            "sizes its own transients from max_index_memory_usage"
+        )
+    if nb_cores is not None:
+        print(
+            "WARNING: nb_cores is accepted for CLI parity but ignored — "
+            "host-side work uses OpenMP/thread defaults"
+        )
     os.makedirs(index_folder, exist_ok=True)
     img_path = os.path.join(embeddings_folder, image_subfolder)
     txt_path = os.path.join(embeddings_folder, text_subfolder)

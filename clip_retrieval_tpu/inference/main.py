@@ -91,6 +91,11 @@ def main(
     slurm_verbose_wait: bool = False,
 ):
     """Compute CLIP embeddings for a folder or webdataset corpus."""
+    if not use_jit:
+        print(
+            "WARNING: use_jit=False is accepted for CLI parity but ignored "
+            "— the embed step is always one jitted XLA program on TPU"
+        )
     if input_format == "webdataset":
         if isinstance(input_dataset, str):
             input_dataset = braceexpand(input_dataset)

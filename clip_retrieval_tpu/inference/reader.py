@@ -19,7 +19,10 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import hashlib
 import io
+import os
+import shutil
 import tarfile
 from concurrent.futures import ThreadPoolExecutor
 from collections import deque
@@ -206,10 +209,66 @@ def _base_plus_ext(name: str):
     return name[:dot], name[dot + 1 :]
 
 
-def _iter_tar_samples(url: str):
+class ShardCache:
+    """Local tar-shard cache with a size bound (reference `reader.py:142`:
+    webdataset's `cache_dir`/`cache_size=10**10`).  Remote shards are
+    copied next to the compute once; re-reads hit the local disk.  When
+    adding a shard would exceed the bound, least-recently-used cached
+    shards are evicted first (never the shard being added)."""
+
+    def __init__(self, path: str, size_bytes: int = 10**10):
+        self.path = path
+        self.size_bytes = size_bytes
+        os.makedirs(path, exist_ok=True)
+
+    def _local_name(self, url: str) -> str:
+        h = hashlib.sha1(url.encode()).hexdigest()[:12]
+        return os.path.join(
+            self.path, f"{h}_{os.path.basename(url.rstrip('/'))}"
+        )
+
+    def _evict_to_fit(self, incoming: int, keep: str):
+        entries = []
+        total = 0
+        for name in os.listdir(self.path):
+            p = os.path.join(self.path, name)
+            if not os.path.isfile(p) or p == keep:
+                continue
+            st = os.stat(p)
+            entries.append((st.st_atime, st.st_size, p))
+            total += st.st_size
+        entries.sort()
+        for _, size, p in entries:
+            if total + incoming <= self.size_bytes:
+                break
+            try:
+                os.remove(p)
+                total -= size
+            except OSError:
+                pass
+
+    def fetch(self, url: str) -> str:
+        """Return a local path for the shard, copying it in if needed."""
+        local = self._local_name(url)
+        if os.path.exists(local):
+            os.utime(local)  # refresh LRU recency
+            return local
+        import fsspec
+
+        tmp = local + ".wip"
+        with fsspec.open(url, "rb") as src, open(tmp, "wb") as dst:
+            shutil.copyfileobj(src, dst, 1 << 20)
+        self._evict_to_fit(os.path.getsize(tmp), keep=tmp)
+        os.replace(tmp, local)  # write-then-rename, like the stats logger
+        return local
+
+
+def _iter_tar_samples(url: str, cache: ShardCache | None = None):
     """Stream (key, {ext: bytes}) groups from one tar shard (local/fsspec)."""
     import fsspec
 
+    if cache is not None:
+        url = cache.fetch(url)
     with fsspec.open(url, "rb") as f:
         with tarfile.open(fileobj=f, mode="r|*") as tf:
             cur_key, cur = None, {}
@@ -263,6 +322,8 @@ class WebdatasetReader(_BaseReader):
         self.enable_metadata = enable_metadata
         self.image_key = wds_image_key
         self.caption_key = wds_caption_key
+        # local shard cache (reference reader.py:142: 10 GB webdataset cache)
+        self.cache = ShardCache(cache_path) if cache_path else None
 
     def _decode_one(self, item):
         key, files = item
@@ -290,7 +351,7 @@ class WebdatasetReader(_BaseReader):
     def _raw_items(self):
         for url in self.urls:
             try:
-                yield from _iter_tar_samples(url)
+                yield from _iter_tar_samples(url, self.cache)
             except Exception as e:
                 print(f"Failed to read shard {url}: {e}. Skipping shard.")
 

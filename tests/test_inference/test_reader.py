@@ -105,3 +105,60 @@ def test_wds_missing_key_filtered(tmp_path):
         enable_image=True,
     )
     assert list(reader) == []
+
+
+def test_wds_shard_cache(tmp_path, monkeypatch):
+    """cache_path (reference reader.py:142): shards are copied into the
+    local cache on first read and re-read from it afterwards."""
+    import clip_retrieval_tpu.inference.reader as reader_mod
+
+    urls = make_tar_corpus(str(tmp_path / "tars"), sizes=(3, 2))
+    cache_dir = str(tmp_path / "cache")
+
+    def make_reader():
+        return WebdatasetReader(
+            Sampler(0, 1), 16, _tokenize, urls, 2,
+            num_prepro_workers=0, enable_text=False, enable_image=True,
+            cache_path=cache_dir,
+        )
+
+    n1 = sum(b["image_tensor"].shape[0] for b in make_reader())
+    assert n1 == 5
+    import os
+
+    cached = sorted(os.listdir(cache_dir))
+    assert len(cached) == 2 and not any(c.endswith(".wip") for c in cached)
+
+    # second pass must read only from the cache: remote fetches forbidden
+    calls = {"n": 0}
+    orig_open = reader_mod.ShardCache.fetch
+
+    def counting_fetch(self, url):
+        local = self._local_name(url)
+        assert os.path.exists(local), f"cache miss for {url}"
+        calls["n"] += 1
+        return orig_open(self, url)
+
+    monkeypatch.setattr(reader_mod.ShardCache, "fetch", counting_fetch)
+    n2 = sum(b["image_tensor"].shape[0] for b in make_reader())
+    assert n2 == 5 and calls["n"] == 2
+
+
+def test_shard_cache_eviction(tmp_path):
+    """The cache evicts least-recently-used shards to honor its bound."""
+    from clip_retrieval_tpu.inference.reader import ShardCache
+    import os, time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"s{i}.tar").write_bytes(bytes(400))
+    cache = ShardCache(str(tmp_path / "cache"), size_bytes=1000)
+    p0 = cache.fetch(str(src / "s0.tar"))
+    time.sleep(0.02)
+    p1 = cache.fetch(str(src / "s1.tar"))
+    time.sleep(0.02)
+    os.utime(p1)  # s1 most recent
+    cache.fetch(str(src / "s2.tar"))  # 1200 > 1000 → evict oldest (s0)
+    assert not os.path.exists(p0)
+    assert os.path.exists(p1)
