@@ -43,7 +43,7 @@ def main():
     @jax.jit
     def embed(params, images):
         feats = jclip.encode_image(
-            params, cfg, images, compute_dtype=jnp.bfloat16, attn_impl="xla"
+            params, cfg, images, compute_dtype=jnp.bfloat16, attn_impl="auto"
         )
         return feats.astype(jnp.float16)
 
@@ -91,6 +91,16 @@ def main():
     tunnel_fed = batch * n_iters / (time.perf_counter() - t0)
 
     baseline = 312.0  # A100 solo ViT-L/14, docs/distributed_clip_inference.md:205
+    # model FLOPs/image (2·MACs): patchify + per-block qkvo/mlp/attention +
+    # final projection; v5e bf16 peak = 197 TFLOP/s
+    s, w, nl = cfg.vision_seq_len, cfg.vision_width, cfg.vision_layers
+    mlp = int(w * cfg.vision_mlp_ratio)
+    flops_per_img = (
+        2 * s * (cfg.patch_size**2 * 3) * w
+        + nl * (2 * s * 4 * w * w + 2 * s * 2 * w * mlp + 4 * s * s * w)
+        + 2 * s * w * cfg.embed_dim
+    )
+    peak = 197e12
     print(
         json.dumps(
             {
@@ -98,10 +108,13 @@ def main():
                 "value": round(sustained, 1),
                 "unit": "images/s",
                 "vs_baseline": round(sustained / baseline, 3),
+                "mfu": round(sustained * flops_per_img / peak, 3),
                 "tunnel_fed_value": round(tunnel_fed, 1),
                 "note": "value=sustained on-chip embed rate (host feed needs "
                 "~86MB/s, below any real host's PCIe); tunnel_fed_value="
-                "through this harness's ~50MB/s loopback relay",
+                "through this harness's ~50MB/s loopback relay; mfu vs "
+                "197 TFLOP/s v5e bf16 peak; attn=auto (bf16-logits XLA, "
+                "see benchmarks/attn_tpu.json)",
             }
         )
     )

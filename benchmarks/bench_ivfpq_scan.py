@@ -104,10 +104,16 @@ def sustained_device(ix, q, k, nprobe, iters=30):
                 min(k, budget), window, budget // window, nprobe,
             )
 
-    jax.block_until_ready(call())
+    # sync via result readback of the LAST call: the device queue executes
+    # in order, so this bounds all dispatched programs.  (Do NOT use
+    # block_until_ready here: through this harness's relay it can return
+    # before execution completes.)
+    np.asarray(call()[0])
     t0 = time.time()
-    outs = [call() for _ in range(iters)]
-    jax.block_until_ready(outs)
+    out = None
+    for _ in range(iters):
+        out = call()
+    np.asarray(out[0])
     return (time.time() - t0) / iters
 
 

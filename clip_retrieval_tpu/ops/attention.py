@@ -32,8 +32,18 @@ def sdpa_reference(
     *,
     causal: bool = False,
     scale: float | None = None,
+    bf16_logits: bool = False,
 ) -> jax.Array:
-    """Plain XLA attention. Softmax in fp32 regardless of input dtype."""
+    """Plain XLA attention.
+
+    bf16_logits=False: softmax fully in fp32 (exact path, used for
+    training and fp32 inference).
+    bf16_logits=True: the (B,H,S,S) logits round-trip HBM in bfloat16 —
+    the dominant attention HBM traffic halves, exp/normalize still happen
+    in fp32.  Measured on v5e ViT-L/14 bf16 batch=256: 571→655 img/s
+    (+15%), output cosine vs the fp32 path 0.99991 (benchmarks/attn_tpu
+    .json), well above the 0.999 parity bar the model tests enforce.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
@@ -44,7 +54,13 @@ def sdpa_reference(
         s_q, s_k = logits.shape[-2], logits.shape[-1]
         mask = jnp.tril(jnp.ones((s_q, s_k), dtype=bool))
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
+    if bf16_logits:
+        logits = logits.astype(jnp.bfloat16)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp((logits - mx).astype(jnp.float32))
+        probs = p / jnp.sum(p, axis=-1, keepdims=True)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -63,17 +79,26 @@ def sdpa(
 ) -> jax.Array:
     """Dispatching attention entry point.
 
-    impl: 'auto' | 'xla' | 'flash'.  'auto' uses the Pallas flash kernel on
-    TPU when the shape is worth it (long-ish sequences), else the XLA path.
+    impl: 'auto' | 'xla' | 'xla_bf16' | 'flash'.
+
+    'auto' resolution is measurement-driven (benchmarks/attn_tpu.json,
+    v5e): the Pallas flash kernel loses to XLA's batched attention at
+    CLIP's short sequences (its per-head grid is too fine), and on TPU
+    with bf16 activations the bf16-logits XLA variant wins by ~15% on
+    ViT-L/14 — so 'auto' = 'xla_bf16' for bf16 inputs on TPU, plain 'xla'
+    otherwise.  CRT_FORCE_FLASH=1 forces the Pallas kernel for A/B runs.
     """
     if impl == "auto":
-        # measured on v5e (ViT-L/14, S=257): XLA's fused attention matches the
-        # Pallas kernel at CLIP sequence lengths; keep XLA unless forced
         impl = "xla"
-        if os.environ.get("CRT_FORCE_FLASH") == "1" and _on_tpu():
-            impl = "flash"
+        if _on_tpu():
+            if os.environ.get("CRT_FORCE_FLASH") == "1":
+                impl = "flash"
+            elif q.dtype == jnp.bfloat16:
+                impl = "xla_bf16"
     if impl == "flash":
         from . import flash
 
         return flash.flash_attention(q, k, v, causal=causal)
-    return sdpa_reference(q, k, v, causal=causal)
+    return sdpa_reference(
+        q, k, v, causal=causal, bf16_logits=(impl == "xla_bf16")
+    )

@@ -25,12 +25,15 @@ def _round_up(x: int, m: int) -> int:
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float,
                  causal: bool):
-    q = q_ref[0].astype(jnp.float32)  # (Sq, D)
-    k = k_ref[0].astype(jnp.float32)  # (Sk, D)
-    v = v_ref[0].astype(jnp.float32)
+    # matmul inputs stay in the storage dtype (bf16 on the inference path):
+    # the MXU accumulates in f32 via preferred_element_type, and a prior
+    # version that upcast q/k/v to f32 first paid the 4× f32-MXU penalty
+    q = q_ref[0]  # (Sq, D)
+    k = k_ref[0]  # (Sk, D)
+    v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Sq, Sk)
+    ) * scale  # (Sq, Sk) f32
     sq, sk = logits.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
     mask = col < kv_len
@@ -39,11 +42,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float,
         mask = jnp.logical_and(mask, col <= row)
     logits = jnp.where(mask, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp(logits - m)  # f32 softmax numerics
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / denom
+        (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[0] = o.astype(o_ref.dtype)
 
 
