@@ -45,7 +45,13 @@ class SlurmDistributor:
         self.job_comment = slurm["slurm_job_comment"]
         self.nodelist = slurm["slurm_nodelist"]
         self.exclude = slurm["slurm_exclude"]
-        self.job_timeout = slurm["slurm_job_timeout"] or 60 * 60 * 24 * 14
+        # `is None` (not `or`): a 0 timeout must mean "fail immediately",
+        # not silently become the 2-week default
+        self.job_timeout = (
+            slurm["slurm_job_timeout"]
+            if slurm["slurm_job_timeout"] is not None
+            else 60 * 60 * 24 * 14
+        )
         self.cache_path = os.path.expanduser(
             slurm["slurm_cache_path"] or "~/.cache/clip_retrieval_tpu/slurm"
         )

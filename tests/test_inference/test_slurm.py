@@ -1,0 +1,86 @@
+"""SLURM distributor: sbatch rendering + submit/poll/timeout flow against
+fake slurm binaries (VERDICT r1 weak #8; reference
+`clip_inference/slurm_distributor.py:59-169` left this layer untested)."""
+
+import os
+import stat
+
+import pytest
+
+from clip_retrieval_tpu.inference.slurm import SlurmDistributor
+
+
+def _make_distributor(tmp_path, **overrides):
+    args = {
+        "slurm_job_name": "myjob",
+        "slurm_partition": "tpu-pod",
+        "slurm_nodes": 3,
+        "slurm_job_comment": "quota:research",
+        "slurm_nodelist": None,
+        "slurm_exclude": "node[7-9]",
+        "slurm_job_timeout": 120,
+        "slurm_cache_path": str(tmp_path / "slurm"),
+        "slurm_verbose_wait": False,
+        "batch_size": 4,
+    }
+    args.update(overrides)
+    return SlurmDistributor(tasks=[0, 1, 2], worker_args=args)
+
+
+def test_sbatch_script_rendering(tmp_path):
+    dist = _make_distributor(tmp_path)
+    args_path, sbatch_path = dist._write_inputs()
+    script = open(sbatch_path).read()
+    assert script.startswith("#!/bin/bash\n")
+    assert "#SBATCH --job-name=myjob" in script
+    assert "#SBATCH --nodes=3" in script
+    assert "#SBATCH --partition=tpu-pod" in script
+    assert "#SBATCH --comment=quota:research" in script
+    assert "#SBATCH --exclude=node[7-9]" in script
+    assert "--nodelist" not in script  # unset options are omitted
+    assert (
+        f"srun python -m clip_retrieval_tpu.inference.slurm_worker "
+        f"--worker_args_path={args_path}" in script
+    )
+    # worker args JSON round-trips tasks and strips slurm_* keys
+    import json
+
+    payload = json.load(open(args_path))
+    assert payload["tasks"] == [0, 1, 2]
+    assert payload["worker_args"] == {"batch_size": 4}
+
+
+def _fake_bin(path, name, body):
+    p = path / name
+    p.write_text("#!/bin/bash\n" + body)
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+
+
+def test_submit_and_poll(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    state = tmp_path / "squeue_calls"
+    _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 4242"\n')
+    # first squeue call reports the job running, second reports done
+    _fake_bin(
+        bindir,
+        "squeue",
+        f'if [ ! -f {state} ]; then touch {state}; echo "4242 R"; fi\n',
+    )
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    dist = _make_distributor(tmp_path)
+    dist()  # returns once squeue shows the job gone
+
+
+def test_timeout_cancels_job(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    cancel_log = tmp_path / "scancel.log"
+    _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 7"\n')
+    _fake_bin(bindir, "squeue", 'echo "7 R"\n')  # never finishes
+    _fake_bin(bindir, "scancel", f'echo "$@" > {cancel_log}\n')
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    dist = _make_distributor(tmp_path, slurm_job_timeout=0)
+    with pytest.raises(TimeoutError):
+        dist()
+    assert cancel_log.read_text().strip() == "7"
