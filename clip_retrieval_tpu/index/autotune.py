@@ -21,6 +21,7 @@ class IndexParams:
     m: int = 0
     ksub: int = 256
     use_opq: bool = False
+    use_refine: bool = False  # disk-mmap exact re-rank tier (RFlat)
 
     @property
     def index_key(self) -> str:
@@ -33,6 +34,8 @@ class IndexParams:
         key = f"IVF{self.nlist},PQ{self.m}x8"
         if self.use_opq:
             key = f"OPQ{self.m},{key}"
+        if self.use_refine:
+            key += ",RFlat"  # faiss refine-layer naming
         return key
 
 
@@ -57,6 +60,7 @@ def parse_index_key(key: str, d: int) -> IndexParams:
     if m_ivf8:
         return IndexParams(kind="ivf_int8", nlist=int(m_ivf8.group(1)))
     use_opq = False
+    use_refine = False
     nlist = m = None
     for part in key.split(","):
         part = part.strip()
@@ -66,11 +70,16 @@ def parse_index_key(key: str, d: int) -> IndexParams:
             nlist = int(re.match(r"IVF(\d+)", part, re.I).group(1))
         elif part.upper().startswith("PQ"):
             m = int(re.match(r"PQ(\d+)", part, re.I).group(1))
+        elif part.upper().startswith(("RFLAT", "REFINE")):
+            use_refine = True
     if nlist is None or m is None:
         raise ValueError(f"unsupported index key {key!r}")
     if d % m:
         raise ValueError(f"PQ{m} does not divide d={d}")
-    return IndexParams(kind="ivfpq", nlist=nlist, m=m, use_opq=use_opq)
+    return IndexParams(
+        kind="ivfpq", nlist=nlist, m=m, use_opq=use_opq,
+        use_refine=use_refine,
+    )
 
 
 def _pick_m(d: int, budget_per_vec: float) -> int:
@@ -105,6 +114,11 @@ def select_params(
         nlist //= 2
     per_vec = (budget - nlist * d * 4) / max(n, 1) - 8
     m = _pick_m(d, per_vec)
+    # default-on refine: ADC alone rarely clears recall@10 ≥ 0.95 (the
+    # north-star, BASELINE.md); the exact re-rank store is fp16 on DISK
+    # and mmap'd (rerank_factor·k row reads per query), so it does not
+    # count against max_index_memory (which bounds the resident index,
+    # autofaiss semantics)
     return IndexParams(
-        kind="ivfpq", nlist=nlist, m=m, use_opq=d >= 64
+        kind="ivfpq", nlist=nlist, m=m, use_opq=d >= 64, use_refine=True
     )

@@ -80,9 +80,14 @@ def build_index_from_shards(
     nprobe: int = 16,
     train_points: int = 1 << 20,
     seed: int = 0,
-    refine: bool = False,
+    refine: bool | None = None,
 ):
-    """Train + encode an index over all shard rows (ids = global row order)."""
+    """Train + encode an index over all shard rows (ids = global row order).
+
+    refine=None follows the autotune decision (params.use_refine);
+    True/False force the exact re-rank store on/off."""
+    if refine is None:
+        refine = getattr(params, "use_refine", False)
     n, d = shards.total, shards.d
     if params.kind == "flat":
         index = FlatIndex(d)
@@ -216,7 +221,7 @@ def quantize(
     index_key: str | None,
     nprobe: int,
     compute_recall: bool,
-    refine: bool = False,
+    refine: bool | None = None,
 ):
     shards = EmbeddingShards(embeddings_path)
     params = select_params(
@@ -254,7 +259,7 @@ def clip_index(
     index_key: str | None = None,
     nprobe: int = 16,
     compute_recall: bool = True,
-    refine: bool = False,
+    refine: bool | None = None,  # None = autotune decides (use_refine)
     nb_cores: int | None = None,  # accepted for CLI parity
 ):
     """Build image/text indices from an inference output folder."""

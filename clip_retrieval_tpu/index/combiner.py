@@ -47,6 +47,35 @@ def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
                 ids[c : c + n] = ix.list_ids[s:e]
                 codes[c : c + n] = ix.list_codes[s:e]
                 cursor[li] += n
+    # merge the exact re-rank stores when every shard carries one and the
+    # ids partition 0..total-1 (refine rows are indexed by id); otherwise
+    # the merged index degrades to ADC-only with a warning, never silently
+    refine = None
+    if all(ix.refine_vectors is not None for ix in indices):
+        # refine rows are indexed by id; mergeable iff every shard's ids
+        # are a contiguous range (id = shard offset + local build row,
+        # which is what build.py emits) and the ranges tile 0..total-1
+        shard_ranges = []
+        ok = True
+        for ix in indices:
+            sids = np.sort(np.asarray(ix.list_ids))
+            if sids.size and not np.array_equal(
+                sids, np.arange(sids[0], sids[0] + sids.size)
+            ):
+                ok = False
+                break
+            shard_ranges.append((int(sids[0]) if sids.size else 0, sids.size))
+        if ok and ids.min() >= 0 and ids.max() == total - 1 and len(
+            np.unique(ids)
+        ) == total:
+            refine = np.empty((total, base.d), np.float16)
+            for ix, (lo, n) in zip(indices, shard_ranges):
+                refine[lo : lo + n] = np.asarray(ix.refine_vectors)
+        else:
+            print(
+                "WARNING: shard ids do not tile the merged range; "
+                "dropping the refine tier from the combined index"
+            )
     return IVFPQIndex(
         d=base.d,
         coarse_centroids=base.coarse_centroids,
@@ -56,6 +85,8 @@ def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
         list_ids=ids,
         list_codes=codes,
         nprobe=base.nprobe,
+        refine_vectors=refine,
+        rerank_factor=base.rerank_factor,
     )
 
 

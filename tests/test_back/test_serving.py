@@ -197,10 +197,55 @@ def test_error_on_empty_query(served):
 def test_metrics_endpoints(served):
     r = request(served["app"], "GET", "/metrics-summary")
     assert r["status"].startswith("200")
-    assert b"knn" in r["body"]
+    body = r["body"].decode()
+    # ranked-cost-table format fidelity with the reference
+    # (clip_back.py:95-144): header sentence, pandas table with the same
+    # columns, stages sorted by descending average, percentage column
+    import re
+
+    assert re.match(
+        r"Among \d+ calls to the knn end point with an average latency "
+        r"of \d+\.\d{4}s per request, the step costs are \(in order\): ",
+        body,
+    ), body[:120]
+    for col in ("name", "description", "calls", "average", "proportion"):
+        assert col in body
+    avgs = [float(m) for m in re.findall(r"(\d+\.\d{4})s", body)[1:]]
+    assert avgs == sorted(avgs, reverse=True)
+    assert re.search(r"\d+\.\d%", body)
     r2 = request(served["app"], "GET", "/metrics")
     assert r2["status"].startswith("200")
     assert b"full_knn_request_time" in r2["body"]
+
+
+def test_grafana_dashboard_targets_exported_metrics():
+    """The shipped dashboard (doc_assets/grafana_dashboard.json, reference
+    README.md:421) must only reference metric families the backend exports."""
+    import json as _json
+    import os
+    import re
+
+    from clip_retrieval_tpu.back import metrics as m
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "doc_assets",
+        "grafana_dashboard.json",
+    )
+    dash = _json.load(open(path))
+    exported = {
+        h.collect()[0].name
+        for h in m._SUB_METRICS + [m.FULL_KNN_REQUEST_TIME]
+    }
+    exprs = [
+        t["expr"]
+        for p in dash["panels"]
+        for t in p.get("targets", [])
+        if "expr" in t
+    ]
+    assert exprs, "dashboard has no queries"
+    for expr in exprs:
+        for name in re.findall(r"([a-z_]+_time)(?:_sum|_count|_bucket)?", expr):
+            assert name in exported, f"{name} not exported ({expr})"
 
 
 def test_config_json(served):
