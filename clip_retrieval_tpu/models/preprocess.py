@@ -19,6 +19,7 @@ image queries where the input arrives as raw RGB of arbitrary size.
 from __future__ import annotations
 
 import io
+import os
 from typing import Sequence
 
 import numpy as np
@@ -31,12 +32,44 @@ except ImportError:  # pragma: no cover
     _HAS_PIL = False
 
 
-def decode_resize_center_crop(data: bytes | "Image.Image", size: int) -> np.ndarray:
+def _native_decode(data: bytes, size: int, fast: bool) -> np.ndarray | None:
+    """C++ decode+resize+crop (native/image_decode.cpp); None → PIL path.
+
+    The native library handles JPEG/PNG/WebP; other containers (bmp, tiff,
+    gif — rare in web datasets) and exotic color spaces (CMYK) return a
+    nonzero code and fall back to PIL for exact reference behavior."""
+    from ..native import get_decode_lib
+
+    lib = get_decode_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.crt_decode_resize_crop(data, len(data), size, int(fast), out)
+    if rc == 0:
+        return out
+    if rc == 2 and data[:2] == b"\xff\xd8":
+        # real decode error on a JPEG: PIL (same libjpeg) will almost surely
+        # fail too, but let it produce the canonical error/skip behavior
+        return None
+    return None
+
+
+def decode_resize_center_crop(
+    data: bytes | "Image.Image", size: int, *, fast: bool = False
+) -> np.ndarray:
     """bytes/PIL image → (size, size, 3) uint8, CLIP-style bicubic + crop.
 
     Matches torchvision Resize(size, BICUBIC) + CenterCrop(size) + RGB
-    conversion semantics.
+    conversion semantics.  Uses the native C++ decoder when available
+    (pixel-equivalent within ±2/255 of the PIL path; `fast=True` adds
+    libjpeg DCT scaling like PIL's Image.draft, trading exactness for
+    2-4× decode speed on large JPEGs; CRT_FAST_DECODE=1 flips the default).
     """
+    fast = fast or os.environ.get("CRT_FAST_DECODE") == "1"
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        out = _native_decode(bytes(data), size, fast)
+        if out is not None:
+            return out
     if not _HAS_PIL:
         raise RuntimeError("PIL required for host image decode")
     img = data if isinstance(data, Image.Image) else Image.open(io.BytesIO(data))
@@ -54,13 +87,48 @@ def decode_resize_center_crop(data: bytes | "Image.Image", size: int) -> np.ndar
     return np.asarray(img, dtype=np.uint8)
 
 
-def decode_batch(items: Sequence[bytes], size: int) -> tuple[np.ndarray, list[int]]:
+def decode_batch(
+    items: Sequence[bytes], size: int, *, fast: bool = False
+) -> tuple[np.ndarray, list[int]]:
     """Decode a batch; corrupt images are skipped (reference skips them at
-    `reader.py:101-104`). Returns (stacked uint8 array, kept indices)."""
+    `reader.py:101-104`). Returns (stacked uint8 array, kept indices).
+
+    Uses the native OpenMP batch decoder when available (one C call for the
+    whole batch, parallel across host cores); items it can't handle fall
+    back to the per-item PIL path."""
+    fast = fast or os.environ.get("CRT_FAST_DECODE") == "1"
+    from ..native import get_decode_lib
+
+    lib = get_decode_lib()
+    if lib is not None and items:
+        blob = b"".join(bytes(d) for d in items)
+        offsets = np.zeros(len(items) + 1, np.int64)
+        np.cumsum([len(d) for d in items], out=offsets[1:])
+        out = np.empty((len(items), size, size, 3), np.uint8)
+        ok = np.empty(len(items), np.int32)
+        lib.crt_decode_batch(
+            np.frombuffer(blob, np.uint8), offsets, len(items), size,
+            int(fast), out, ok,
+        )
+        rows, kept = [], []
+        for i, code in enumerate(ok):
+            if code == 0:
+                rows.append(out[i])
+                kept.append(i)
+            else:  # unsupported container / decode error → PIL fallback
+                try:
+                    rows.append(decode_resize_center_crop(items[i], size))
+                    kept.append(i)
+                except Exception:
+                    continue
+        if not rows:
+            return np.zeros((0, size, size, 3), np.uint8), []
+        return np.stack(rows), kept
+
     out, kept = [], []
     for i, data in enumerate(items):
         try:
-            out.append(decode_resize_center_crop(data, size))
+            out.append(decode_resize_center_crop(data, size, fast=fast))
             kept.append(i)
         except Exception:
             continue

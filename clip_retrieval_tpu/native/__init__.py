@@ -30,16 +30,18 @@ def _cache_dir() -> str:
 def _build(src_path: str, extra_flags: list[str]) -> Optional[ctypes.CDLL]:
     with open(src_path, "rb") as f:
         src = f.read()
-    tag = hashlib.sha256(src + b"\0".join(f.encode() for f in extra_flags)).hexdigest()[:16]
+    cmd_head = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-march=native", "-fopenmp", src_path, *extra_flags,
+    ]
+    tag = hashlib.sha256(
+        src + b"\0".join(f.encode() for f in cmd_head)
+    ).hexdigest()[:16]
     so_path = os.path.join(
         _cache_dir(), f"{os.path.basename(src_path)}.{tag}.so"
     )
     if not os.path.exists(so_path):
-        cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-march=native", "-fopenmp",
-            *extra_flags, src_path, "-o", so_path + ".tmp",
-        ]
+        cmd = [*cmd_head, "-o", so_path + ".tmp"]
         try:
             subprocess.run(
                 cmd, check=True, capture_output=True, timeout=120
@@ -53,6 +55,46 @@ def _build(src_path: str, extra_flags: list[str]) -> Optional[ctypes.CDLL]:
     except OSError as e:
         print(f"native load failed ({e}); using numpy fallback")
         return None
+
+
+def get_decode_lib() -> Optional[ctypes.CDLL]:
+    """Compiled image decode/resize library, or None (PIL fallback).
+
+    Replaces the reference's PIL/torchvision per-item preprocessing
+    (`/root/reference/clip_retrieval/clip_inference/reader.py:101,163`) —
+    the documented pipeline bottleneck
+    (`/root/reference/docs/distributed_clip_inference.md:203`)."""
+    with _LOCK:
+        if "decode" not in _LIB:
+            if os.environ.get("CRT_DISABLE_NATIVE_DECODE") == "1":
+                _LIB["decode"] = None
+                return None
+            src = os.path.join(os.path.dirname(__file__), "image_decode.cpp")
+            lib = _build(src, ["-ljpeg", "-lpng", "-lwebp"])
+            if lib is not None:
+                import numpy as np
+                from numpy.ctypeslib import ndpointer
+
+                lib.crt_decode_resize_crop.restype = ctypes.c_int32
+                lib.crt_decode_resize_crop.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int64,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ndpointer(np.uint8, flags="C"),
+                ]
+                lib.crt_decode_batch.restype = None
+                lib.crt_decode_batch.argtypes = [
+                    ndpointer(np.uint8, flags="C"),
+                    ndpointer(np.int64, flags="C"),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ndpointer(np.uint8, flags="C"),
+                    ndpointer(np.int32, flags="C"),
+                ]
+            _LIB["decode"] = lib
+        return _LIB["decode"]
 
 
 def get_adc_lib() -> Optional[ctypes.CDLL]:
