@@ -9,13 +9,22 @@ from .flat import FlatIndex
 from .ivfpq import IVFPQIndex
 
 
-def load_index(path: str, enable_mmap: bool = True):
-    """Load an index directory; dispatches on header type."""
+def load_index(
+    path: str, enable_mmap: bool = True, sharded: bool | None = None
+):
+    """Load an index directory; dispatches on header type.
+
+    `sharded=True` (or CRT_SHARDED_IVF=1) executes an ivf_int8 index on the
+    list-sharded multi-chip tier (`sharded_ivf.py`) instead of single-chip;
+    the on-disk format is identical.  flat_int8 is always mesh-sharded.
+    """
     header_path = os.path.join(path, "header.json")
     if not os.path.exists(header_path):
         raise FileNotFoundError(f"no index header at {header_path}")
     with open(header_path) as f:
         kind = json.load(f)["type"]
+    if sharded is None:
+        sharded = os.environ.get("CRT_SHARDED_IVF") == "1"
     if kind == "flat":
         return FlatIndex.load(path, mmap=enable_mmap)
     if kind == "flat_int8":
@@ -23,6 +32,10 @@ def load_index(path: str, enable_mmap: bool = True):
 
         return ShardedFlatIndex.load(path, mmap=enable_mmap)
     if kind == "ivf_int8":
+        if sharded:
+            from .sharded_ivf import ShardedIVFInt8Index
+
+            return ShardedIVFInt8Index.load(path, mmap=enable_mmap)
         from .ivf_int8 import IVFInt8Index
 
         return IVFInt8Index.load(path, mmap=enable_mmap)

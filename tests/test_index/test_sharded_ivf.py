@@ -1,0 +1,114 @@
+"""List-sharded IVF-int8 tier: recall ≥ the single-chip tier, id validity,
+uneven nlist padding, format round-trip — on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from clip_retrieval_tpu.index.flat import FlatIndex
+from clip_retrieval_tpu.index.ivf_int8 import IVFInt8Index
+from clip_retrieval_tpu.index.sharded_ivf import ShardedIVFInt8Index
+from clip_retrieval_tpu.index.store import load_index
+
+
+def _unit(x):
+    return (x / np.linalg.norm(x, axis=-1, keepdims=True)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    centers = _unit(rng.normal(size=(32, 64)))
+    x = centers[rng.integers(0, 32, 4000)] + 0.15 * rng.normal(size=(4000, 64))
+    return _unit(x)
+
+
+@pytest.fixture(scope="module")
+def single(corpus):
+    return IVFInt8Index.from_vectors(corpus, nlist=64, nprobe=16, seed=0)
+
+
+@pytest.fixture(scope="module")
+def sharded(single):
+    return ShardedIVFInt8Index.from_index(single)
+
+
+def test_recall_at_least_single_chip(corpus, single, sharded):
+    q = corpus[:40]
+    exact = FlatIndex(64)
+    exact.add(corpus)
+    _, gt = exact.search(q, 10)
+    _, got_1 = single.search(q, 10)
+    _, got_n = sharded.search(q, 10)
+
+    def recall(got):
+        return np.mean(
+            [len(set(gt[i]) & set(got[i])) / 10 for i in range(len(q))]
+        )
+
+    r1, rn = recall(got_1), recall(got_n)
+    # per-shard probing unions ⊇ the single-chip probe set
+    assert rn >= r1 - 1e-9, (rn, r1)
+    assert rn >= 0.9, rn
+    # self-retrieval
+    assert (got_n[:, 0] == np.arange(len(q))).all()
+
+
+def test_scores_are_true_int8_products(corpus, sharded):
+    q = corpus[:8]
+    vals, ids = sharded.search(q, 5)
+    assert (ids >= 0).all()
+    recon = sharded.reconstruct_batch(ids.reshape(-1)).reshape(8, 5, 64)
+    # scores are int8-quantized inner products of query × stored row
+    approx = np.einsum("bd,bkd->bk", q, recon)
+    np.testing.assert_allclose(vals, approx, atol=0.05)
+    # ranked descending
+    assert (np.diff(vals, axis=1) <= 1e-6).all()
+
+
+def test_uneven_nlist_pads_across_shards(corpus):
+    # nlist=10 on an 8-device mesh → padded to 16 with never-probed lists
+    ix = ShardedIVFInt8Index.from_vectors(
+        corpus[:500], nlist=10, nprobe=4, seed=1
+    )
+    vals, ids = ix.search(corpus[:6], 8)
+    assert ids.shape == (6, 8)
+    assert (ids[np.isfinite(vals)] >= 0).all()
+    assert (ids[np.isfinite(vals)] < 500).all()
+    assert (ids[:, 0] == np.arange(6)).all()
+
+
+def test_k_larger_than_ntotal(corpus):
+    ix = ShardedIVFInt8Index.from_vectors(corpus[:30], nlist=4, nprobe=4)
+    vals, ids = ix.search(corpus[:3], 50)
+    assert ids.shape == (3, 50)
+    for row_ids, row_vals in zip(ids, vals):
+        found = row_ids[np.isfinite(row_vals)]
+        assert len(np.unique(found)) == len(found)  # no duplicates per query
+
+
+def test_empty_index():
+    ix = ShardedIVFInt8Index(
+        8,
+        np.zeros((2, 8), np.float32),
+        np.zeros(3, np.int64),
+        np.zeros((0,), np.int64),
+        np.zeros((0, 8), np.int8),
+        np.zeros((0,), np.float32),
+    )
+    vals, ids = ix.search(np.zeros((2, 8), np.float32), 4)
+    assert (ids == -1).all() and not np.isfinite(vals).any()
+
+
+def test_load_dispatch_and_roundtrip(tmp_path, corpus, single, sharded):
+    p = str(tmp_path / "ix")
+    single.save(p)
+    # default dispatch → single-chip class
+    assert type(load_index(p)) is IVFInt8Index
+    # sharded dispatch → sharded tier, same results as the in-memory one
+    back = load_index(p, sharded=True)
+    assert isinstance(back, ShardedIVFInt8Index)
+    q = corpus[:10]
+    v0, i0 = sharded.search(q, 5)
+    v1, i1 = back.search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(v0, v1, atol=1e-5)
