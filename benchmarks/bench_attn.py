@@ -37,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="B32,B16,L14")
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -98,7 +98,8 @@ def main():
                            * np.linalg.norm(ref_out, axis=1))
                     )
                 )
-            np.asarray(embed(params, xs[1]))  # second warm batch
+            for x in xs[1:]:  # materialize ALL inputs: device_put is lazy
+                np.asarray(embed(params, x))  # through the relay
             t0 = time.perf_counter()
             out = None
             for i in range(args.iters):
