@@ -30,6 +30,9 @@ class ClipOptions:
     nprobe: Optional[int] = None  # override the index's stored nprobe
     rerank_factor: Optional[int] = None  # IVF-PQ refine over-fetch factor
     warmup: bool = True  # encode a dummy query at boot (compile before traffic)
+    # execute ivf_int8 indices on the list-sharded multi-chip tier
+    # (index/sharded_ivf.py); None → CRT_SHARDED_IVF env decides
+    sharded_index: Optional[bool] = None
 
     def with_overrides(self, d: dict) -> "ClipOptions":
         known = {f.name for f in dataclasses.fields(self)}

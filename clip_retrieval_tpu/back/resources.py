@@ -73,12 +73,20 @@ def load_clip_index(clip_options: ClipOptions) -> ClipResource:
     text_path = folder + "/text.index"
     LOGGER.info("loading indices from %s ...", folder)
     image_index = (
-        load_index(image_path, clip_options.enable_faiss_memory_mapping)
+        load_index(
+            image_path,
+            clip_options.enable_faiss_memory_mapping,
+            sharded=clip_options.sharded_index,
+        )
         if os.path.exists(image_path)
         else None
     )
     text_index = (
-        load_index(text_path, clip_options.enable_faiss_memory_mapping)
+        load_index(
+            text_path,
+            clip_options.enable_faiss_memory_mapping,
+            sharded=clip_options.sharded_index,
+        )
         if os.path.exists(text_path)
         else None
     )

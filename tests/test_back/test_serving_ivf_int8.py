@@ -64,3 +64,38 @@ def test_ivf_int8_backend(tmp_path):
     results = r["json"]
     assert results[0]["id"] == 77
     assert results[0]["similarity"] > 0.98
+
+    # same directory served on the list-sharded multi-chip tier via the
+    # per-index JSON option overlay (sharded_index)
+    from clip_retrieval_tpu.index.sharded_ivf import ShardedIVFInt8Index
+
+    paths2 = tmp_path / "ip_sharded.json"
+    paths2.write_text(
+        json.dumps(
+            {"i8s": {"indice_folder": index_folder, "sharded_index": True}}
+        )
+    )
+    res2 = load_clip_indices(
+        str(paths2),
+        ClipOptions(
+            clip_model="test-tiny",
+            columns_to_return=["caption"],
+            provide_aesthetic_embeddings=False,
+        ),
+    )
+    assert isinstance(res2["i8s"].image_index, ShardedIVFInt8Index)
+    app2 = make_app(res2)
+    r2 = request(
+        app2,
+        "POST",
+        "/knn-service",
+        {
+            "embedding_input": x[77].tolist(),
+            "modality": "image",
+            "num_images": 5,
+            "indice_name": "i8s",
+        },
+    )
+    assert r2["status"].startswith("200"), r2["body"]
+    assert r2["json"][0]["id"] == 77
+    assert r2["json"][0]["similarity"] > 0.98
