@@ -122,6 +122,16 @@ def main():
     out_path = os.path.join(
         os.path.dirname(__file__), f"attn_{platform}.json"
     )
+    # merge with prior rows so partial runs (--models H14) don't drop data
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        fresh = {(r["model"], r["impl"]) for r in results}
+        results = [
+            r for r in prior if (r["model"], r["impl"]) not in fresh
+        ] + results
+        order = {m: i for i, m in enumerate(["B32", "B16", "L14", "H14"])}
+        results.sort(key=lambda r: order.get(r["model"], 9))
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_path}")

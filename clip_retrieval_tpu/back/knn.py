@@ -94,16 +94,22 @@ class _Encoders:
 
         self.bundle = bundle
         cfg = bundle.cfg
-        params = bundle.params
+        # params must be a jit ARGUMENT, not a closure capture: closed-over
+        # arrays are baked into the HLO as constants, which (a) defeats the
+        # persistent compilation cache across server boots (every checkpoint
+        # → new program hash → minutes of compile per micro-batch bucket at
+        # boot) and (b) bloats the executable with the weights
+        params = jax.device_put(bundle.params)
 
         @jax.jit
-        def encode_text(tokens):
-            return jclip.encode_text(params, cfg, tokens)
+        def encode_text(p, tokens):
+            return jclip.encode_text(p, cfg, tokens)
 
         @jax.jit
-        def encode_image(images):
-            return jclip.encode_image(params, cfg, images)
+        def encode_image(p, images):
+            return jclip.encode_image(p, cfg, images)
 
+        self._params = params
         self._encode_text = encode_text
         self._encode_image = encode_image
         self._jnp = jnp
@@ -123,7 +129,7 @@ class _Encoders:
                     [tokens, np.zeros((pad, tokens.shape[1]), tokens.dtype)]
                 )
             feats = np.asarray(
-                encode_text(jnp.asarray(tokens))
+                encode_text(params, jnp.asarray(tokens))
             ).astype(np.float32)[:n]
             return [feats[i : i + 1] for i in range(n)]
 
@@ -136,7 +142,7 @@ class _Encoders:
                     [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
                 )
             feats = np.asarray(
-                encode_image(jnp.asarray(batch))
+                encode_image(params, jnp.asarray(batch))
             ).astype(np.float32)[:n]
             return [feats[i : i + 1] for i in range(n)]
 

@@ -300,11 +300,15 @@ class MCLIPBundle:
         self.params = params
         self.tokenizer = tokenizer
 
-        @jax.jit
-        def _encode(ids, mask):
-            return encode(params, cfg, ids, mask).astype(jnp.float16)
+        # params as a jit argument, not a closure constant, so the
+        # persistent compilation cache works across processes
+        dev_params = jax.device_put(params)
 
-        self._encode = _encode
+        @jax.jit
+        def _encode(p, ids, mask):
+            return encode(p, cfg, ids, mask).astype(jnp.float16)
+
+        self._encode = lambda ids, mask: _encode(dev_params, ids, mask)
 
     def __call__(self, texts) -> np.ndarray:
         """texts → (B, out_dim) normalized fp16 (mapper-compatible)."""

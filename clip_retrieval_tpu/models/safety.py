@@ -66,7 +66,13 @@ class JaxMLP:
                 x = jax.nn.softmax(x, axis=-1)
             return x
 
-        self._fn = jax.jit(lambda x: forward(x, self.weights))
+        # weights as jit args (closure capture bakes them into the HLO as
+        # constants and defeats the persistent compilation cache)
+        self._dev_weights = jax.device_put(
+            [(jnp.asarray(w), jnp.asarray(b)) for w, b in self.weights]
+        )
+        self._jit_forward = jax.jit(forward)
+        self._fn = lambda x: self._jit_forward(x, self._dev_weights)
 
     def predict(self, embeddings: np.ndarray, batch_size: int | None = None):
         """autokeras-compatible interface (returns (n, 1) scores)."""
