@@ -311,6 +311,13 @@ def clip_back(
                 indice_name=name,
                 deduplicate=False,
             )
+            # pre-compile the micro-batch bucket programs too (each bucket
+            # size is its own jit program; CRT_WARM_BUCKETS="" to skip)
+            buckets = os.environ.get("CRT_WARM_BUCKETS", "1,64")
+            if buckets:
+                app._knn._enc(name).warm(
+                    tuple(int(b) for b in buckets.split(","))
+                )
             print(f"warmed index {name!r}")
         except Exception as e:
             print(f"warmup for {name!r} failed: {e}")

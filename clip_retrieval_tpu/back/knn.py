@@ -153,6 +153,21 @@ class _Encoders:
             run_image_batch, max_batch, max_wait_ms, name="image-encode"
         )
 
+    def warm(self, buckets=(1, 64)) -> None:
+        """Pre-compile the encode programs for the given micro-batch buckets
+        so the first burst of traffic doesn't stall on jit compilation
+        (each bucket size is its own program)."""
+        import jax.numpy as jnp
+
+        cfg = self.bundle.cfg
+        for b in buckets:
+            tokens = np.zeros((b, cfg.context_length), np.int32)
+            np.asarray(self._encode_text(self._params, jnp.asarray(tokens)))
+            images = np.zeros(
+                (b, cfg.image_size, cfg.image_size, 3), np.uint8
+            )
+            np.asarray(self._encode_image(self._params, jnp.asarray(images)))
+
     def text(self, text: str) -> np.ndarray:
         with M.TEXT_CLIP_INFERENCE_TIME.time():
             return self._text_batcher.submit(text)
