@@ -296,9 +296,24 @@ def clip_back(
     )
     print("indices loaded")
     app = make_app(clip_resources, default_backend, None, url_column)
-    # warm the query encoders + search programs so the first real request
-    # doesn't pay jit compilation (seconds with the persistent cache,
-    # minutes without)
+    warmup_app(app, clip_resources)
+    serve(app, port, http_backend=http_backend)
+
+
+def warm_buckets_from_env() -> tuple:
+    """Micro-batch bucket sizes to pre-compile at boot, from CRT_WARM_BUCKETS
+    (comma-separated ints, default "1,64"; empty string disables warmup)."""
+    raw = os.environ.get("CRT_WARM_BUCKETS", "1,64")
+    if not raw.strip():
+        return ()
+    return tuple(int(b) for b in raw.split(","))
+
+
+def warmup_app(app, clip_resources) -> None:
+    """Warm the query encoders + search programs so the first real request
+    doesn't pay jit compilation (seconds with the persistent cache, minutes
+    without); each micro-batch bucket size is its own jit program."""
+    buckets = warm_buckets_from_env()
     for name in clip_resources:
         try:
             app._knn.query(
@@ -311,14 +326,8 @@ def clip_back(
                 indice_name=name,
                 deduplicate=False,
             )
-            # pre-compile the micro-batch bucket programs too (each bucket
-            # size is its own jit program; CRT_WARM_BUCKETS="" to skip)
-            buckets = os.environ.get("CRT_WARM_BUCKETS", "1,64")
             if buckets:
-                app._knn._enc(name).warm(
-                    tuple(int(b) for b in buckets.split(","))
-                )
+                app._knn._enc(name).warm(buckets)
             print(f"warmed index {name!r}")
         except Exception as e:
             print(f"warmup for {name!r} failed: {e}")
-    serve(app, port, http_backend=http_backend)

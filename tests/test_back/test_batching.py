@@ -60,3 +60,32 @@ def test_encoder_batching_results_match_serial():
         parallel = list(ex.map(enc.text, texts))
     for s, p in zip(serial, parallel):
         np.testing.assert_allclose(s, p, atol=1e-5)
+
+
+def test_warm_precompiles_bucket_programs():
+    """warm() compiles one program per bucket; traffic that fits an existing
+    bucket then never triggers a new compile."""
+    from clip_retrieval_tpu.back.knn import _Encoders
+    from clip_retrieval_tpu.models import zoo
+
+    bundle = zoo.load_model("test-tiny")
+    enc = _Encoders(bundle, max_batch=8, max_wait_ms=5)
+    enc.warm((1, 4))
+    text_cache = enc._encode_text._cache_size()
+    img_cache = enc._encode_image._cache_size()
+    assert text_cache == 2 and img_cache == 2
+    # a single-item encode pads to the pre-compiled bucket-1 program
+    out = enc.text("hello")
+    assert out.shape[0] == 1
+    assert enc._encode_text._cache_size() == text_cache
+
+
+def test_warm_buckets_from_env(monkeypatch):
+    from clip_retrieval_tpu.back.app import warm_buckets_from_env
+
+    monkeypatch.delenv("CRT_WARM_BUCKETS", raising=False)
+    assert warm_buckets_from_env() == (1, 64)
+    monkeypatch.setenv("CRT_WARM_BUCKETS", "2,8,32")
+    assert warm_buckets_from_env() == (2, 8, 32)
+    monkeypatch.setenv("CRT_WARM_BUCKETS", "")
+    assert warm_buckets_from_env() == ()
