@@ -103,3 +103,29 @@ def test_spa_search_and_metadata_paging(spa_app):
     # the SPA does Object.assign({id: m.id}, m.metadata)
     for m in got:
         assert "url" in m["metadata"] and "caption" in m["metadata"]
+
+
+def test_spa_markup_has_reference_feature_controls():
+    """Static parity net: every user-facing control of the reference front
+    (/root/reference/front/src/clip-front.js:555-575) exists in the SPA, and
+    its request constants match the reference's paging contract."""
+    from pathlib import Path
+
+    html = Path(__file__).parents[2].joinpath("front", "index.html").read_text()
+    for needle in [
+        'id="opt-dedup"',        # hide near-duplicate images (server dedup)
+        'id="opt-dedup-urls"',   # hide duplicate urls (client-side filter)
+        'id="opt-safe"',         # safe mode
+        'id="opt-violence"',     # hide violence
+        'id="opt-mclip"',        # multilingual clip
+        'id="opt-ascore"',       # aesthetic score
+        'id="opt-aweight"',      # aesthetic weight
+        'id="imgfile"',          # local-image search upload
+        "downloadJson",          # json subset export
+        "URLSearchParams",       # url-param state restore
+        "history.replaceState",  # url-param state save
+        '"id":\\s*(\\d{16,})',   # bigint-safe json parse (clip-service.js:5)
+        "seenUrls",              # duplicate-url filter state
+    ]:
+        assert needle in html, f"SPA missing reference feature: {needle}"
+    assert "PAGE = 40" in html and "MAX_IDS = 3000" in html
