@@ -162,9 +162,17 @@ def _block(x, p, *, heads, act, eps, causal, attn_impl):
     dh = w // h
     y = _layer_norm(x, p["ln_1"], eps)
     a = p["attn"]
-    q = _dense(y, a["wq"], a["bq"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-    k = _dense(y, a["wk"], a["bk"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-    v = _dense(y, a["wv"], a["bv"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    if "wqkv" in a:
+        # pre-fused projection: one (W, 3W) matmul instead of three (W, W)
+        qkv = _dense(y, a["wqkv"], a["bqkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    else:
+        q = _dense(y, a["wq"], a["bq"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        k = _dense(y, a["wk"], a["bk"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        v = _dense(y, a["wv"], a["bv"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
     o = attn_ops.sdpa(q, k, v, causal=causal, impl=attn_impl)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
     x = x + _dense(o, a["wo"], a["bo"])
@@ -178,6 +186,23 @@ def _block(x, p, *, heads, act, eps, causal, attn_impl):
 
 def _run_blocks(x, blocks, *, heads, act, eps, causal, attn_impl):
     """lax.scan over the stacked layer axis."""
+    import os
+
+    if os.environ.get("CRT_FUSE_QKV") == "1" and "wq" in blocks["attn"]:
+        # A/B-only path: fold q/k/v into one (L, W, 3W) weight so each block
+        # issues a single wider MXU matmul. Measured SLOWER on v5e ViT-L/14
+        # bf16 batch=256 (617.6 vs 662.2 img/s, benchmarks/qkv_fusion_tpu
+        # .json): the concat adds an extra HBM pass over the attention
+        # weights and XLA already schedules the three (W, W) projections
+        # back-to-back, so the default stays unfused.
+        a = blocks["attn"]
+        blocks = dict(blocks)
+        blocks["attn"] = {
+            "wqkv": jnp.concatenate([a["wq"], a["wk"], a["wv"]], axis=-1),
+            "bqkv": jnp.concatenate([a["bq"], a["bk"], a["bv"]], axis=-1),
+            "wo": a["wo"],
+            "bo": a["bo"],
+        }
 
     def body(carry, layer_params):
         out = _block(

@@ -224,3 +224,35 @@ def test_bf16_close_to_fp32(converted):
         )
     )
     assert _cos(f32, bf16).min() > 0.99
+
+
+def test_fused_qkv_matches_unfused(monkeypatch):
+    """CRT_FUSE_QKV=1 folds q/k/v into one (W, 3W) MXU matmul; results must
+    be identical to the unfused path (same weights, same math order per
+    column block)."""
+    from clip_retrieval_tpu.models.clip import encode_image, encode_text, init_clip
+    from clip_retrieval_tpu.models.configs import TEST_TINY
+
+    cfg = TEST_TINY
+    params = init_clip(cfg, 0)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (4, cfg.image_size, cfg.image_size, 3)).astype(
+            np.uint8
+        )
+    )
+    toks = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 2, (4, cfg.context_length)).astype(
+            np.int32
+        )
+    )
+    monkeypatch.delenv("CRT_FUSE_QKV", raising=False)
+    img_ref = np.asarray(encode_image(params, cfg, imgs))
+    txt_ref = np.asarray(encode_text(params, cfg, toks))
+    monkeypatch.setenv("CRT_FUSE_QKV", "1")
+    np.testing.assert_allclose(
+        np.asarray(encode_image(params, cfg, imgs)), img_ref, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(encode_text(params, cfg, toks)), txt_ref, atol=1e-5
+    )
