@@ -191,17 +191,19 @@ def build_index_from_shards(
     )
 
 
-def score_index(index, shards: EmbeddingShards, n_queries: int = 100,
-                k: int = 40, seed: int = 7) -> dict:
-    """Recall@k vs exact brute force on a query sample (the reference
-    delegates this to autofaiss score_index, README.md:292)."""
-    queries = shards.sample(n_queries, seed=seed)
+def _exact_ground_truth(
+    shards: EmbeddingShards, queries: np.ndarray, k: int
+) -> np.ndarray:
+    """Top-k ids by exact brute force over the full corpus."""
     exact = FlatIndex(shards.d)
     for _, block in shards.iter_chunks():
         exact.add(block.astype(np.float16))
     _, gt = exact.search(queries, k)
-    _, got = index.search(queries, k)
-    recall = float(
+    return gt
+
+
+def _recall_vs_gt(gt: np.ndarray, got: np.ndarray) -> float:
+    return float(
         np.mean(
             [
                 len(set(gt[i][gt[i] >= 0]) & set(got[i][got[i] >= 0]))
@@ -210,7 +212,69 @@ def score_index(index, shards: EmbeddingShards, n_queries: int = 100,
             ]
         )
     )
-    return {f"recall@{k}": recall, "n_queries": n_queries}
+
+
+def score_index(index, shards: EmbeddingShards, n_queries: int = 100,
+                k: int = 40, seed: int = 7) -> dict:
+    """Recall@k vs exact brute force on a query sample (the reference
+    delegates this to autofaiss score_index, README.md:292)."""
+    queries = shards.sample(n_queries, seed=seed)
+    gt = _exact_ground_truth(shards, queries, k)
+    _, got = index.search(queries, k)
+    return {f"recall@{k}": _recall_vs_gt(gt, got), "n_queries": n_queries}
+
+
+def calibrate_nprobe(
+    index,
+    shards: EmbeddingShards,
+    target_recall: float = 0.95,
+    k: int = 10,
+    n_queries: int = 100,
+    seed: int = 7,
+    max_nprobe: int = 256,
+) -> dict | None:
+    """Pick the smallest nprobe whose recall@k vs exact brute force reaches
+    the target — the search-hyperparameter tuning autofaiss performs inside
+    the reference's `clip_index` (`/root/reference/clip_retrieval/clip_index
+    .py:24-31`; autofaiss tunes index.nprobe for its recall target and
+    records it in the infos json).  Mutates `index.nprobe` to the chosen
+    value (persisted by `index.save`, honored by serving) and returns
+    {"nprobe", "target_recall", "recall_curve"} or None for flat indices."""
+    if not hasattr(index, "nprobe"):
+        return None
+    nlist = getattr(index, "nlist", max_nprobe)
+    queries = shards.sample(n_queries, seed=seed)
+    gt = _exact_ground_truth(shards, queries, k)
+    curve: dict[str, float] = {}
+    chosen = None
+    cand = 1
+    candidates = []
+    while cand < min(max_nprobe, nlist):
+        candidates.append(cand)
+        cand *= 2
+    candidates.append(min(max_nprobe, nlist))
+    for cand in candidates:
+        index.nprobe = cand
+        _, got = index.search(queries, k)
+        r = _recall_vs_gt(gt, got)
+        curve[str(cand)] = round(r, 4)
+        if r >= target_recall:
+            chosen = cand
+            break
+    if chosen is None:
+        chosen = candidates[-1]  # best effort: largest probed
+        LOGGER.warning(
+            "nprobe calibration missed target recall %.2f (best %.3f at "
+            "nprobe=%d) — consider more nlist or the refine tier",
+            target_recall, max(curve.values()), chosen,
+        )
+    index.nprobe = chosen
+    return {
+        "nprobe": chosen,
+        "target_recall": target_recall,
+        "recall_k": k,
+        "recall_curve": curve,
+    }
 
 
 def quantize(
@@ -219,10 +283,13 @@ def quantize(
     infos_path: str,
     max_index_memory_usage: str,
     index_key: str | None,
-    nprobe: int,
+    nprobe: int | None,
     compute_recall: bool,
     refine: bool | None = None,
 ):
+    """nprobe=None → build with the default then calibrate the smallest
+    nprobe reaching recall@10 ≥ 0.95 (autofaiss-parity hyperparameter
+    tuning); an explicit int pins it."""
     shards = EmbeddingShards(embeddings_path)
     params = select_params(
         shards.total, shards.d, max_index_memory_usage, index_key
@@ -232,15 +299,19 @@ def quantize(
     )
     t0 = time.time()
     index = build_index_from_shards(
-        shards, params, nprobe=nprobe, refine=refine
+        shards, params, nprobe=nprobe or 16, refine=refine
     )
-    index.save(index_path)
     infos = {
         "index_key": params.index_key,
         "ntotal": shards.total,
         "d": shards.d,
-        "build_seconds": time.time() - t0,
     }
+    if nprobe is None and compute_recall:
+        cal = calibrate_nprobe(index, shards)
+        if cal:
+            infos["nprobe_calibration"] = cal
+    infos["build_seconds"] = time.time() - t0
+    index.save(index_path)  # after calibration: nprobe persists in the header
     if compute_recall:
         infos.update(score_index(index, shards))
     with open(infos_path, "w") as f:
@@ -257,7 +328,7 @@ def clip_index(
     image_subfolder: str = "img_emb",
     text_subfolder: str = "text_emb",
     index_key: str | None = None,
-    nprobe: int = 16,
+    nprobe: int | None = None,  # None = calibrate to recall@10 ≥ 0.95
     compute_recall: bool = True,
     refine: bool | None = None,  # None = autotune decides (use_refine)
     nb_cores: int | None = None,  # accepted for CLI parity
