@@ -255,7 +255,13 @@ def calibrate_nprobe(
     candidates.append(min(max_nprobe, nlist))
     for cand in candidates:
         index.nprobe = cand
-        _, got = index.search(queries, k)
+        # B=1: the int8 IVF tier union-probes the whole query batch, so a
+        # batched calibration pass would scan ~n_queries·nprobe lists per
+        # query and overstate serving recall; single-query searches measure
+        # the guaranteed per-query floor (recall at any serving batch ≥ it)
+        got = np.concatenate(
+            [index.search(queries[i : i + 1], k)[1] for i in range(len(queries))]
+        )
         r = _recall_vs_gt(gt, got)
         curve[str(cand)] = round(r, 4)
         if r >= target_recall:
