@@ -263,13 +263,43 @@ class ShardCache:
         return local
 
 
-def _iter_tar_samples(url: str, cache: ShardCache | None = None):
-    """Stream (key, {ext: bytes}) groups from one tar shard (local/fsspec)."""
-    import fsspec
+import contextlib
 
-    if cache is not None:
+
+@contextlib.contextmanager
+def _open_shard(url: str):
+    """Byte stream for one shard url.
+
+    `pipe:<shell command>` streams the command's stdout — the webdataset
+    convention the reference uses for hdfs/s3 shards (its README.md:257-265:
+    `pipe:hdfs dfs -cat path`, `pipe:aws s3 cp --quiet s3://... -`); every
+    other url goes through fsspec (local, s3://, gs://, hdfs://, http)."""
+    if url.startswith("pipe:"):
+        import subprocess
+
+        proc = subprocess.Popen(
+            url[len("pipe:"):], shell=True, stdout=subprocess.PIPE
+        )
+        try:
+            yield proc.stdout
+        finally:
+            proc.stdout.close()
+            rc = proc.wait()
+            if rc not in (0, None):
+                raise RuntimeError(f"pipe shard command failed rc={rc}: {url}")
+    else:
+        import fsspec
+
+        with fsspec.open(url, "rb") as f:
+            yield f
+
+
+def _iter_tar_samples(url: str, cache: ShardCache | None = None):
+    """Stream (key, {ext: bytes}) groups from one tar shard
+    (local/fsspec/pipe:)."""
+    if cache is not None and not url.startswith("pipe:"):
         url = cache.fetch(url)
-    with fsspec.open(url, "rb") as f:
+    with _open_shard(url) as f:
         with tarfile.open(fileobj=f, mode="r|*") as tf:
             cur_key, cur = None, {}
             for member in tf:

@@ -162,3 +162,33 @@ def test_shard_cache_eviction(tmp_path):
     cache.fetch(str(src / "s2.tar"))  # 1200 > 1000 → evict oldest (s0)
     assert not os.path.exists(p0)
     assert os.path.exists(p1)
+
+
+def test_wds_pipe_url(tmp_path):
+    """`pipe:<cmd>` shard urls stream the command's stdout (reference
+    README.md:257-265: hdfs/s3 shards via `pipe:hdfs dfs -cat`...)."""
+    tars = make_tar_corpus(str(tmp_path / "tars"), sizes=(3,))
+    direct = WebdatasetReader(
+        Sampler(0, 1), 16, _tokenize, tars, 8,
+        num_prepro_workers=0, enable_text=False, enable_metadata=False,
+    )
+    piped = WebdatasetReader(
+        Sampler(0, 1), 16, _tokenize, [f"pipe:cat {u}" for u in tars], 8,
+        num_prepro_workers=0, enable_text=False, enable_metadata=False,
+    )
+    a = [b for b in direct]
+    b = [b for b in piped]
+    assert [x["image_tensor"].shape for x in a] == [
+        x["image_tensor"].shape for x in b
+    ]
+    np.testing.assert_array_equal(a[0]["image_tensor"], b[0]["image_tensor"])
+
+
+def test_wds_pipe_url_failing_command(tmp_path):
+    """A failing pipe command is reported and the shard skipped, matching
+    the warn-and-continue contract for unreadable shards."""
+    reader = WebdatasetReader(
+        Sampler(0, 1), 16, _tokenize, ["pipe:false"], 8,
+        num_prepro_workers=0, enable_text=False, enable_metadata=False,
+    )
+    assert [b for b in reader] == []
