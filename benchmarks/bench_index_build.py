@@ -37,10 +37,12 @@ def main():
     np.save(os.path.join(folder, "e.npy"), x.astype(np.float16))
 
     t0 = time.time()
+    timings = {}
     index = build_index_from_shards(
         EmbeddingShards(folder),
         parse_index_key(args.index_key, args.d),
         train_points=200_000,
+        timings=timings,
     )
     dt = time.time() - t0
     print(
@@ -53,6 +55,7 @@ def main():
                 "d": args.d,
                 "index_key": args.index_key,
                 "build_seconds": round(dt, 1),
+                **timings,
             }
         )
     )

@@ -81,11 +81,13 @@ def build_index_from_shards(
     train_points: int = 1 << 20,
     seed: int = 0,
     refine: bool | None = None,
+    timings: dict | None = None,
 ):
     """Train + encode an index over all shard rows (ids = global row order).
 
     refine=None follows the autotune decision (params.use_refine);
-    True/False force the exact re-rank store on/off."""
+    True/False force the exact re-rank store on/off.  A `timings` dict, if
+    given, receives per-phase wall seconds (train_s / encode_s)."""
     if refine is None:
         refine = getattr(params, "use_refine", False)
     n, d = shards.total, shards.d
@@ -148,6 +150,8 @@ def build_index_from_shards(
     residuals = sample_r - coarse_np[assign]
     pq = pq_ops.train_pq(residuals, params.m, params.ksub, niter=15, seed=seed)
     LOGGER.info("train done in %.1fs", time.time() - t0)
+    if timings is not None:
+        timings["train_s"] = round(time.time() - t0, 1)
 
     # encode all vectors streaming
     t0 = time.time()
@@ -161,6 +165,8 @@ def build_index_from_shards(
         all_assign[start : start + block.shape[0]] = a
         all_codes[start : start + block.shape[0]] = codes
     LOGGER.info("encode done in %.1fs", time.time() - t0)
+    if timings is not None:
+        timings["encode_s"] = round(time.time() - t0, 1)
 
     # group by list (CSR)
     order = np.argsort(all_assign, kind="stable")
@@ -304,13 +310,15 @@ def quantize(
         "building %s over %d×%d", params.index_key, shards.total, shards.d
     )
     t0 = time.time()
+    timings: dict = {}
     index = build_index_from_shards(
-        shards, params, nprobe=nprobe or 16, refine=refine
+        shards, params, nprobe=nprobe or 16, refine=refine, timings=timings
     )
     infos = {
         "index_key": params.index_key,
         "ntotal": shards.total,
         "d": shards.d,
+        **timings,
     }
     if nprobe is None and compute_recall:
         cal = calibrate_nprobe(index, shards)
