@@ -82,11 +82,13 @@ def sdpa(
     impl: 'auto' | 'xla' | 'xla_bf16' | 'flash'.
 
     'auto' resolution is measurement-driven (benchmarks/attn_tpu.json,
-    v5e): the Pallas flash kernel loses to XLA's batched attention at
-    CLIP's short sequences (its per-head grid is too fine), and on TPU
-    with bf16 activations the bf16-logits XLA variant wins by ~15% on
-    ViT-L/14 — so 'auto' = 'xla_bf16' for bf16 inputs on TPU, plain 'xla'
-    otherwise.  CRT_FORCE_FLASH=1 forces the Pallas kernel for A/B runs.
+    v5e): the Pallas flash kernel loses to XLA's batched attention across
+    the zoo's whole sequence range — seq 50 (B/32) through 577
+    (L/14@336, 233 vs 278 img/s) — its per-head grid is too fine for
+    these shapes; on TPU with bf16 activations the bf16-logits XLA
+    variant wins by ~15% on ViT-L/14.  So 'auto' = 'xla_bf16' for bf16
+    inputs on TPU, plain 'xla' otherwise.  CRT_FORCE_FLASH=1 forces the
+    Pallas kernel for A/B runs.
     """
     if impl == "auto":
         impl = "xla"
