@@ -156,10 +156,14 @@ class _Encoders:
     def warm(self, buckets=(1, 64)) -> None:
         """Pre-compile the encode programs for the given micro-batch buckets
         so the first burst of traffic doesn't stall on jit compilation
-        (each bucket size is its own program)."""
+        (each bucket size is its own program).  Buckets beyond the
+        micro-batcher's max_batch can never be dispatched, so they are
+        clamped rather than compiled."""
         import jax.numpy as jnp
 
         cfg = self.bundle.cfg
+        max_b = self._text_batcher.max_batch
+        buckets = sorted({min(b, max_b) for b in buckets})
         for b in buckets:
             tokens = np.zeros((b, cfg.context_length), np.int32)
             np.asarray(self._encode_text(self._params, jnp.asarray(tokens)))

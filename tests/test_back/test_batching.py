@@ -89,3 +89,15 @@ def test_warm_buckets_from_env(monkeypatch):
     assert warm_buckets_from_env() == (2, 8, 32)
     monkeypatch.setenv("CRT_WARM_BUCKETS", "")
     assert warm_buckets_from_env() == ()
+
+
+def test_warm_clamps_buckets_to_max_batch():
+    """Buckets above max_batch can never be dispatched; warm() must not
+    compile programs for them."""
+    from clip_retrieval_tpu.back.knn import _Encoders
+    from clip_retrieval_tpu.models import zoo
+
+    bundle = zoo.load_model("test-tiny")
+    enc = _Encoders(bundle, max_batch=4, max_wait_ms=5)
+    enc.warm((1, 64))  # 64 > max_batch → clamps to 4
+    assert enc._encode_text._cache_size() == 2  # programs for 1 and 4 only
