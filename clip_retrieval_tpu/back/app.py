@@ -302,11 +302,22 @@ def clip_back(
 
 def warm_buckets_from_env() -> tuple:
     """Micro-batch bucket sizes to pre-compile at boot, from CRT_WARM_BUCKETS
-    (comma-separated ints, default "1,64"; empty string disables warmup)."""
+    (comma-separated ints, default "1,64"; empty string disables warmup).
+    Malformed entries are skipped with a warning — a typo in an env var must
+    not abort server boot."""
     raw = os.environ.get("CRT_WARM_BUCKETS", "1,64")
     if not raw.strip():
         return ()
-    return tuple(int(b) for b in raw.split(","))
+    out = []
+    for tok in raw.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        try:
+            out.append(int(tok))
+        except ValueError:
+            print(f"ignoring malformed CRT_WARM_BUCKETS entry {tok!r}")
+    return tuple(out)
 
 
 def warmup_app(app, clip_resources) -> None:

@@ -81,6 +81,14 @@ def meta_to_dict(meta: dict) -> dict:
     return output
 
 
+def _bucket(n: int) -> int:
+    """Power-of-two padding bucket the micro-batchers dispatch."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class _Encoders:
     """Cached jitted encode closures for one model bundle, with server-side
     micro-batching: concurrent requests share one device batch (padded to
@@ -113,12 +121,6 @@ class _Encoders:
         self._encode_text = encode_text
         self._encode_image = encode_image
         self._jnp = jnp
-
-        def _bucket(n: int) -> int:
-            b = 1
-            while b < n:
-                b *= 2
-            return b
 
         def run_text_batch(texts):
             tokens = self.bundle.tokenize(list(texts))
@@ -156,14 +158,15 @@ class _Encoders:
     def warm(self, buckets=(1, 64)) -> None:
         """Pre-compile the encode programs for the given micro-batch buckets
         so the first burst of traffic doesn't stall on jit compilation
-        (each bucket size is its own program).  Buckets beyond the
-        micro-batcher's max_batch can never be dispatched, so they are
-        clamped rather than compiled."""
+        (each bucket size is its own program).  Requested sizes are mapped
+        to the power-of-two bucket the batchers actually dispatch
+        (`_bucket(min(b, max_batch))`) — warming a shape that is never
+        dispatched would leave the real shape cold."""
         import jax.numpy as jnp
 
         cfg = self.bundle.cfg
         max_b = self._text_batcher.max_batch
-        buckets = sorted({min(b, max_b) for b in buckets})
+        buckets = sorted({_bucket(min(b, max_b)) for b in buckets})
         for b in buckets:
             tokens = np.zeros((b, cfg.context_length), np.int32)
             np.asarray(self._encode_text(self._params, jnp.asarray(tokens)))

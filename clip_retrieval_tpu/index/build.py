@@ -178,7 +178,18 @@ def build_index_from_shards(
 
     refine_vectors = None
     if refine:  # exact re-ranking store: original fp16 vectors in id order
-        refine_vectors = np.empty((n, d), np.float16)
+        # stream into a disk-backed memmap, not RAM: at the 100M×512 tier
+        # this array is ~100 GB while the resident index is only ~n·m bytes;
+        # the file is unlinked immediately (linux keeps the mapping alive)
+        # so it cannot leak, and index.save() streams it to its final home
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".refine.npy", delete=False)
+        tmp.close()
+        refine_vectors = np.lib.format.open_memmap(
+            tmp.name, mode="w+", dtype=np.float16, shape=(n, d)
+        )
+        os.unlink(tmp.name)
         for start, block in shards.iter_chunks():
             refine_vectors[start : start + block.shape[0]] = block.astype(
                 np.float16
@@ -324,6 +335,13 @@ def quantize(
         cal = calibrate_nprobe(index, shards)
         if cal:
             infos["nprobe_calibration"] = cal
+    elif nprobe is None and hasattr(index, "nprobe"):
+        print(
+            "WARNING: nprobe calibration skipped because "
+            "compute_recall=False — the index keeps the default "
+            f"nprobe={index.nprobe}; pass an explicit nprobe or enable "
+            "compute_recall to tune it to the recall target"
+        )
     infos["build_seconds"] = time.time() - t0
     index.save(index_path)  # after calibration: nprobe persists in the header
     if compute_recall:

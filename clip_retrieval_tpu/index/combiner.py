@@ -51,7 +51,14 @@ def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
     # ids partition 0..total-1 (refine rows are indexed by id); otherwise
     # the merged index degrades to ADC-only with a warning, never silently
     refine = None
-    if all(ix.refine_vectors is not None for ix in indices):
+    have_refine = [ix.refine_vectors is not None for ix in indices]
+    if any(have_refine) and not all(have_refine):
+        print(
+            f"WARNING: only {sum(have_refine)}/{len(indices)} shards carry "
+            "an exact re-rank store — dropping the refine tier from the "
+            "combined index (recall falls back to raw ADC)"
+        )
+    if all(have_refine):
         # refine rows are indexed by id; mergeable iff every shard's ids
         # are a contiguous range (id = shard offset + local build row,
         # which is what build.py emits) and the ranges tile 0..total-1

@@ -54,7 +54,10 @@ _DEVICE_BYTES_CAP = 6 << 30  # max flat-codes bytes to keep resident on device
 _SCAN_WINDOW = 1 << 17  # slots per scan step (transient ≈ W·M·9 bytes/query)
 _SLOT_BUDGET_PER_QUERY = 1 << 28  # split query batches beyond this many slots
 _STATIC_BUDGET_MAX = 1 << 21  # one-shot path when worst case ≤ this many slots
-_ALIGN = 128  # device list-start alignment = Pallas chunk size (adc_scan.py)
+# device list-start alignment MUST equal the Pallas scan chunk: block
+# indices (astarts // chunk) and k_eff (nchunk_q · align) silently corrupt
+# if they ever diverge, so derive one from the other
+from ..ops.adc_scan import DEFAULT_CHUNK as _ALIGN  # noqa: E402
 _PALLAS_MAX_B = 128  # MXU result width: larger batches are split
 
 

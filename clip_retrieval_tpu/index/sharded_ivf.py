@@ -72,34 +72,41 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 ids[li, :m] = self.list_ids[s:e]
         coarse = np.zeros((nlist_pad, self.d), np.float32)
         coarse[:nlist] = self.coarse_centroids
-        # padding lists get a far-away centroid so they are never probed
-        # (a zero centroid would score 0 and could outrank real lists)
-        if nlist_pad > nlist:
-            far = self.coarse_centroids.mean(axis=0)
-            norm = np.linalg.norm(far) + 1e-9
-            coarse[nlist:] = -far / norm * 1e3
+        # padding lists (nlist..nlist_pad) are masked out of the probe by an
+        # explicit validity vector — a sentinel centroid can outrank real
+        # lists for queries with a negative dot against it, silently burning
+        # probe slots on empty lists
+        list_valid = np.zeros((nlist_pad,), np.bool_)
+        list_valid[:nlist] = True
         row_sh = NamedSharding(mesh, P("dp"))
         self._device = {
             "coarse": jax.device_put(coarse, row_sh),
             "rows": jax.device_put(rows, row_sh),
             "scales": jax.device_put(scales, row_sh),
             "ids": jax.device_put(ids, row_sh),
+            "valid": jax.device_put(list_valid, row_sh),
         }
         ls = nlist_pad // n_dev  # lists per shard
 
-        def shard_search(q, coarse_l, rows_l, scales_l, ids_l, k, probe,
-                         exact_topk):
+        def shard_search(q, coarse_l, rows_l, scales_l, ids_l, valid_l,
+                         k, probe, exact_topk):
             # per shard: probe the top-`probe` LOCAL lists, scan their
             # union, emit local top-k with global vector ids
             b, d = q.shape
             cs = jnp.dot(q, coarse_l.T, preferred_element_type=jnp.float32)
+            cs = jnp.where(valid_l[None, :], cs, jnp.float32(-1e30))
             p = min(probe, ls)
             _, per_q = jax.lax.top_k(cs, p)  # (B, p) local list idx
             presence = (
                 jnp.zeros((ls,), jnp.float32).at[per_q.reshape(-1)].set(1.0)
             )
+            presence = jnp.where(valid_l, presence, 0.0)
             agg = jnp.max(cs, axis=0)
-            agg = (agg - jnp.min(agg)) / (jnp.max(agg) - jnp.min(agg) + 1e-9)
+            amin = jnp.min(jnp.where(valid_l, agg, jnp.inf))
+            amax = jnp.max(jnp.where(valid_l, agg, -jnp.inf))
+            agg = jnp.where(
+                valid_l, (agg - amin) / (amax - amin + 1e-9), -1.0
+            )  # padding lists rank below every real list in the union fill
             u_cap = min(ls, b * p)
             _, top_u = jax.lax.top_k(presence * 2.0 + agg, u_cap)
             sub_rows = rows_l[top_u]  # (U, Lmax, d) big-slice gathers
@@ -147,10 +154,11 @@ class ShardedIVFInt8Index(IVFInt8Index):
             mgids = jnp.take_along_axis(all_gids, mpos, axis=1)
             return mvals, mgids
 
-        def search(q, coarse, rows_a, scales_a, ids_a, k, probe, exact_topk):
+        def search(q, coarse, rows_a, scales_a, ids_a, valid_a, k, probe,
+                   exact_topk):
             kwargs = dict(
                 mesh=mesh,
-                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
                 out_specs=(P(), P()),
             )
             body = partial(
@@ -160,7 +168,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 fn = jax.shard_map(body, check_vma=False, **kwargs)
             except TypeError:  # older jax spelling
                 fn = jax.shard_map(body, check_rep=False, **kwargs)
-            return fn(q, coarse, rows_a, scales_a, ids_a)
+            return fn(q, coarse, rows_a, scales_a, ids_a, valid_a)
 
         self._search_fn = jax.jit(
             search, static_argnames=("k", "probe", "exact_topk")
@@ -182,6 +190,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
             self._device["rows"],
             self._device["scales"],
             self._device["ids"],
+            self._device["valid"],
             min(k, self.ntotal),
             min(self.nprobe, self.nlist),
             self.exact_topk,
@@ -202,19 +211,9 @@ class ShardedIVFInt8Index(IVFInt8Index):
     def load(
         cls, path: str, mmap: bool = True, mesh: Mesh | None = None
     ) -> "ShardedIVFInt8Index":
-        with open(os.path.join(path, "header.json")) as f:
-            h = json.load(f)
-        mm = "r" if mmap else None
-        return cls(
-            h["d"],
-            np.load(os.path.join(path, "coarse_centroids.npy")),
-            np.load(os.path.join(path, "list_offsets.npy")),
-            np.load(os.path.join(path, "list_ids.npy"), mmap_mode=mm),
-            np.load(os.path.join(path, "q_vectors.npy"), mmap_mode=mm),
-            np.load(os.path.join(path, "scales.npy")),
-            nprobe=h.get("nprobe", 64),
-            mesh=mesh,
-        )
+        # delegate to the single-chip loader so header-format evolution
+        # (e.g. exact_topk) has exactly one reader
+        return cls.from_index(IVFInt8Index.load(path, mmap=mmap), mesh=mesh)
 
     @classmethod
     def from_vectors(

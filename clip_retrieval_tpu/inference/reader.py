@@ -227,12 +227,13 @@ class ShardCache:
             self.path, f"{h}_{os.path.basename(url.rstrip('/'))}"
         )
 
-    def _evict_to_fit(self, incoming: int, keep: str):
+    def _evict_to_fit(self, incoming: int):
         entries = []
         total = 0
         for name in os.listdir(self.path):
             p = os.path.join(self.path, name)
-            if not os.path.isfile(p) or p == keep:
+            # never evict another worker's in-flight download
+            if not os.path.isfile(p) or ".wip." in name:
                 continue
             st = os.stat(p)
             entries.append((st.st_atime, st.st_size, p))
@@ -254,12 +255,20 @@ class ShardCache:
             os.utime(local)  # refresh LRU recency
             return local
         import fsspec
+        import uuid
 
-        tmp = local + ".wip"
-        with fsspec.open(url, "rb") as src, open(tmp, "wb") as dst:
-            shutil.copyfileobj(src, dst, 1 << 20)
-        self._evict_to_fit(os.path.getsize(tmp), keep=tmp)
-        os.replace(tmp, local)  # write-then-rename, like the stats logger
+        # per-process unique tmp: concurrent workers sharing a cache dir
+        # must not interleave writes into one .wip file; each downloads its
+        # own copy and the last atomic os.replace wins (identical content)
+        tmp = f"{local}.wip.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        try:
+            with fsspec.open(url, "rb") as src, open(tmp, "wb") as dst:
+                shutil.copyfileobj(src, dst, 1 << 20)
+            self._evict_to_fit(os.path.getsize(tmp))
+            os.replace(tmp, local)  # write-then-rename, like the stats logger
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return local
 
 

@@ -47,10 +47,9 @@ def _native_decode(data: bytes, size: int, fast: bool) -> np.ndarray | None:
     rc = lib.crt_decode_resize_crop(data, len(data), size, int(fast), out)
     if rc == 0:
         return out
-    if rc == 2 and data[:2] == b"\xff\xd8":
-        # real decode error on a JPEG: PIL (same libjpeg) will almost surely
-        # fail too, but let it produce the canonical error/skip behavior
-        return None
+    # any nonzero code (unsupported container, or a real decode error where
+    # PIL's identical libjpeg will produce the canonical error/skip
+    # behavior) falls back to the PIL path
     return None
 
 
@@ -70,6 +69,14 @@ def decode_resize_center_crop(
         out = _native_decode(bytes(data), size, fast)
         if out is not None:
             return out
+    return _pil_decode_resize_crop(data, size)
+
+
+def _pil_decode_resize_crop(
+    data: bytes | "Image.Image", size: int
+) -> np.ndarray:
+    """PIL-only path (also the fallback for items the native decoder already
+    rejected — re-running the native decoder on those would fail again)."""
     if not _HAS_PIL:
         raise RuntimeError("PIL required for host image decode")
     img = data if isinstance(data, Image.Image) else Image.open(io.BytesIO(data))
@@ -117,7 +124,9 @@ def decode_batch(
                 kept.append(i)
             else:  # unsupported container / decode error → PIL fallback
                 try:
-                    rows.append(decode_resize_center_crop(items[i], size))
+                    # straight to PIL: the native decoder just rejected this
+                    # item, retrying it would fail identically
+                    rows.append(_pil_decode_resize_crop(items[i], size))
                     kept.append(i)
                 except Exception:
                     continue

@@ -89,6 +89,11 @@ def test_warm_buckets_from_env(monkeypatch):
     assert warm_buckets_from_env() == (2, 8, 32)
     monkeypatch.setenv("CRT_WARM_BUCKETS", "")
     assert warm_buckets_from_env() == ()
+    # malformed entries are skipped, never crash boot
+    monkeypatch.setenv("CRT_WARM_BUCKETS", "1,64,")
+    assert warm_buckets_from_env() == (1, 64)
+    monkeypatch.setenv("CRT_WARM_BUCKETS", "1,bogus,8")
+    assert warm_buckets_from_env() == (1, 8)
 
 
 def test_warm_clamps_buckets_to_max_batch():
@@ -99,5 +104,22 @@ def test_warm_clamps_buckets_to_max_batch():
 
     bundle = zoo.load_model("test-tiny")
     enc = _Encoders(bundle, max_batch=4, max_wait_ms=5)
-    enc.warm((1, 64))  # 64 > max_batch → clamps to 4
+    enc.warm((1, 64))  # 64 > max_batch → clamps to bucket(4) = 4
     assert enc._encode_text._cache_size() == 2  # programs for 1 and 4 only
+
+
+def test_warm_rounds_to_dispatch_buckets():
+    """Warming a non-power-of-2 size must compile the pow2 bucket the
+    batcher actually dispatches, not the raw requested shape."""
+    from clip_retrieval_tpu.back.knn import _Encoders, _bucket
+    from clip_retrieval_tpu.models import zoo
+
+    assert _bucket(48) == 64 and _bucket(1) == 1 and _bucket(64) == 64
+    bundle = zoo.load_model("test-tiny")
+    enc = _Encoders(bundle, max_batch=48, max_wait_ms=5)
+    enc.warm((48,))  # dispatch shape for 48 requests is bucket(48) = 64
+    assert enc._encode_text._cache_size() == 1
+    # a 3-item burst pads to bucket 4 -> new program (not warmed); but a
+    # 33..48 burst pads to 64 which IS warm
+    out = enc.text("x")
+    assert out.shape[0] == 1

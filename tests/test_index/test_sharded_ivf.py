@@ -112,3 +112,30 @@ def test_load_dispatch_and_roundtrip(tmp_path, corpus, single, sharded):
     v1, i1 = back.search(q, 5)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(v0, v1, atol=1e-5)
+
+
+def test_padding_lists_never_steal_probes():
+    """nlist not divisible by n_dev leaves empty padding lists on the last
+    shard; queries anti-aligned with the centroid mean must still probe
+    their own real lists (a sentinel-centroid scheme scored +large for such
+    queries and burned their probe slots on empty lists)."""
+    rng = np.random.default_rng(3)
+    # corpus concentrated so the centroid mean is strongly +e0; query
+    # cluster at -e0 is anti-aligned with it
+    d = 32
+    pos = _unit(np.abs(rng.normal(size=(3000, d))) + 0.5)  # mean ~ +all-dims
+    neg = np.zeros((200, d), np.float32)
+    neg[:, 0] = -1.0
+    neg = _unit(neg + 0.05 * rng.normal(size=(200, d)).astype(np.float32))
+    x = np.concatenate([pos, neg]).astype(np.float32)
+    single = IVFInt8Index.from_vectors(x, nlist=13, nprobe=4, seed=0)
+    sharded = ShardedIVFInt8Index.from_index(single)  # 8 devs → 3 padding
+    q = x[3000:3040]  # anti-aligned queries
+    _, got_1 = single.search(q, 5)
+    _, got_s = sharded.search(q, 5)
+    # per-query guarantee: sharded finds at least what single-chip finds
+    for i in range(q.shape[0]):
+        hits_1 = set(got_1[i][got_1[i] >= 0])
+        hits_s = set(got_s[i][got_s[i] >= 0])
+        assert got_s[i][0] == 3000 + i  # self-retrieval intact
+        assert len(hits_s & hits_1) >= len(hits_1) - 1
