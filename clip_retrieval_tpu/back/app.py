@@ -317,6 +317,11 @@ def warm_buckets_from_env() -> tuple:
             out.append(int(tok))
         except ValueError:
             print(f"ignoring malformed CRT_WARM_BUCKETS entry {tok!r}")
+    if not out:
+        # a fully-malformed value must not silently disable warmup — that
+        # reintroduces the cold-start stall this env var guards against
+        print("CRT_WARM_BUCKETS had no valid entries; using default 1,64")
+        return (1, 64)
     return tuple(out)
 
 

@@ -181,10 +181,17 @@ def build_index_from_shards(
         # stream into a disk-backed memmap, not RAM: at the 100M×512 tier
         # this array is ~100 GB while the resident index is only ~n·m bytes;
         # the file is unlinked immediately (linux keeps the mapping alive)
-        # so it cannot leak, and index.save() streams it to its final home
+        # so it cannot leak, and index.save() streams it to its final home.
+        # Place it NEXT TO THE SHARDS, not in the default tmp dir — /tmp is
+        # often a small root partition or RAM-backed tmpfs, which would
+        # defeat the not-in-RAM goal at exactly the scale that needs it
         import tempfile
 
-        tmp = tempfile.NamedTemporaryFile(suffix=".refine.npy", delete=False)
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=".refine.npy",
+            delete=False,
+            dir=os.path.dirname(shards.paths[0]),
+        )
         tmp.close()
         refine_vectors = np.lib.format.open_memmap(
             tmp.name, mode="w+", dtype=np.float16, shape=(n, d)

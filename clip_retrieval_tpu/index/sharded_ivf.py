@@ -25,8 +25,6 @@ program.
 
 from __future__ import annotations
 
-import json
-import os
 from functools import partial
 from typing import Tuple
 

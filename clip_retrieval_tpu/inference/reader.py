@@ -227,15 +227,29 @@ class ShardCache:
             self.path, f"{h}_{os.path.basename(url.rstrip('/'))}"
         )
 
+    # in-flight .wip downloads older than this are treated as orphans from
+    # killed workers and become evictable again
+    WIP_ORPHAN_SECONDS = 3600.0
+
     def _evict_to_fit(self, incoming: int):
+        import time
+
         entries = []
         total = 0
+        now = time.time()
         for name in os.listdir(self.path):
             p = os.path.join(self.path, name)
-            # never evict another worker's in-flight download
-            if not os.path.isfile(p) or ".wip." in name:
+            try:
+                if not os.path.isfile(p):
+                    continue
+                st = os.stat(p)
+            except OSError:
+                continue  # another worker evicted it between listdir and stat
+            if ".wip." in name and now - st.st_mtime < self.WIP_ORPHAN_SECONDS:
+                # never evict another worker's live download; stale .wip
+                # files (SIGKILLed workers skip the cleanup) count and evict
+                # like any cached file so they can't grow the dir unbounded
                 continue
-            st = os.stat(p)
             entries.append((st.st_atime, st.st_size, p))
             total += st.st_size
         entries.sort()

@@ -94,6 +94,9 @@ def test_warm_buckets_from_env(monkeypatch):
     assert warm_buckets_from_env() == (1, 64)
     monkeypatch.setenv("CRT_WARM_BUCKETS", "1,bogus,8")
     assert warm_buckets_from_env() == (1, 8)
+    # fully-malformed value falls back to the default, never disables warmup
+    monkeypatch.setenv("CRT_WARM_BUCKETS", "1;64")
+    assert warm_buckets_from_env() == (1, 64)
 
 
 def test_warm_clamps_buckets_to_max_batch():

@@ -192,3 +192,24 @@ def test_wds_pipe_url_failing_command(tmp_path):
         num_prepro_workers=0, enable_text=False, enable_metadata=False,
     )
     assert [b for b in reader] == []
+
+
+def test_shard_cache_evicts_orphaned_wip(tmp_path):
+    """A .wip file from a SIGKILLed worker (old mtime) must count against
+    the bound and be evictable; a live .wip (fresh mtime) must not."""
+    import os
+    import time
+
+    from clip_retrieval_tpu.inference.reader import ShardCache
+
+    cache = ShardCache(str(tmp_path / "c"), size_bytes=100)
+    orphan = os.path.join(cache.path, "aa.tar.wip.999.dead0000")
+    live = os.path.join(cache.path, "bb.tar.wip.123.alive000")
+    for p in (orphan, live):
+        with open(p, "wb") as f:
+            f.write(b"x" * 80)
+    old = time.time() - 2 * ShardCache.WIP_ORPHAN_SECONDS
+    os.utime(orphan, (old, old))
+    cache._evict_to_fit(incoming=80)
+    assert not os.path.exists(orphan)  # stale orphan reclaimed
+    assert os.path.exists(live)  # in-flight download untouched
