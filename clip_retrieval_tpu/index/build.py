@@ -74,6 +74,32 @@ class EmbeddingShards:
             offset += arr.shape[0]
 
 
+def scratch_memmap(shape, dtype, scratch_dirs=()) -> np.ndarray:
+    """Unlinked disk-backed array for corpus-scale transients (refine
+    stores are ~n·d·2 bytes — 100 GB at the 100M×512 tier — and must never
+    live in RAM).  Tries each candidate dir, skipping unwritable ones
+    (read-only artifact mounts), and falls back to the system tmp dir; the
+    file is unlinked immediately (linux keeps the mapping alive) so it can
+    neither leak nor be picked up by shard globs."""
+    import tempfile
+
+    last: OSError | None = None
+    for d in [*scratch_dirs, None]:
+        try:
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".scratch", dir=d, delete=False
+            )
+            tmp.close()
+            arr = np.lib.format.open_memmap(
+                tmp.name, mode="w+", dtype=dtype, shape=shape
+            )
+            os.unlink(tmp.name)
+            return arr
+        except OSError as e:  # unwritable/full candidate → next
+            last = e
+    raise last  # pragma: no cover — system tmp unwritable
+
+
 def build_index_from_shards(
     shards: EmbeddingShards,
     params: IndexParams,
@@ -82,6 +108,7 @@ def build_index_from_shards(
     seed: int = 0,
     refine: bool | None = None,
     timings: dict | None = None,
+    scratch_dir: str | None = None,
 ):
     """Train + encode an index over all shard rows (ids = global row order).
 
@@ -178,25 +205,13 @@ def build_index_from_shards(
 
     refine_vectors = None
     if refine:  # exact re-ranking store: original fp16 vectors in id order
-        # stream into a disk-backed memmap, not RAM: at the 100M×512 tier
-        # this array is ~100 GB while the resident index is only ~n·m bytes;
-        # the file is unlinked immediately (linux keeps the mapping alive)
-        # so it cannot leak, and index.save() streams it to its final home.
-        # Place it NEXT TO THE SHARDS, not in the default tmp dir — /tmp is
-        # often a small root partition or RAM-backed tmpfs, which would
-        # defeat the not-in-RAM goal at exactly the scale that needs it
-        import tempfile
-
-        tmp = tempfile.NamedTemporaryFile(
-            suffix=".refine.npy",
-            delete=False,
-            dir=os.path.dirname(shards.paths[0]),
-        )
-        tmp.close()
-        refine_vectors = np.lib.format.open_memmap(
-            tmp.name, mode="w+", dtype=np.float16, shape=(n, d)
-        )
-        os.unlink(tmp.name)
+        # disk-backed, not RAM (see scratch_memmap); prefer the index output
+        # dir (writable by definition), then the data volume holding the
+        # shards, then system tmp — NOT tmp first, which is often a small
+        # root partition or RAM-backed tmpfs at exactly this scale
+        candidates = [scratch_dir] if scratch_dir else []
+        candidates.append(os.path.dirname(shards.paths[0]))
+        refine_vectors = scratch_memmap((n, d), np.float16, candidates)
         for start, block in shards.iter_chunks():
             refine_vectors[start : start + block.shape[0]] = block.astype(
                 np.float16
@@ -239,13 +254,20 @@ def _recall_vs_gt(gt: np.ndarray, got: np.ndarray) -> float:
 
 
 def score_index(index, shards: EmbeddingShards, n_queries: int = 100,
-                k: int = 40, seed: int = 7) -> dict:
+                k: int = 40, seed: int = 7, queries=None, gt=None) -> dict:
     """Recall@k vs exact brute force on a query sample (the reference
-    delegates this to autofaiss score_index, README.md:292)."""
-    queries = shards.sample(n_queries, seed=seed)
-    gt = _exact_ground_truth(shards, queries, k)
+    delegates this to autofaiss score_index, README.md:292).  Pass
+    precomputed (queries, gt) to share one brute-force pass with
+    calibrate_nprobe — the full-corpus scan is the expensive step."""
+    if queries is None:
+        queries = shards.sample(n_queries, seed=seed)
+    if gt is None:
+        gt = _exact_ground_truth(shards, queries, k)
     _, got = index.search(queries, k)
-    return {f"recall@{k}": _recall_vs_gt(gt, got), "n_queries": n_queries}
+    return {
+        f"recall@{k}": _recall_vs_gt(gt[:, :k], got),
+        "n_queries": len(queries),
+    }
 
 
 def calibrate_nprobe(
@@ -256,6 +278,8 @@ def calibrate_nprobe(
     n_queries: int = 100,
     seed: int = 7,
     max_nprobe: int = 256,
+    queries=None,
+    gt=None,
 ) -> dict | None:
     """Pick the smallest nprobe whose recall@k vs exact brute force reaches
     the target — the search-hyperparameter tuning autofaiss performs inside
@@ -267,8 +291,11 @@ def calibrate_nprobe(
     if not hasattr(index, "nprobe"):
         return None
     nlist = getattr(index, "nlist", max_nprobe)
-    queries = shards.sample(n_queries, seed=seed)
-    gt = _exact_ground_truth(shards, queries, k)
+    if queries is None:
+        queries = shards.sample(n_queries, seed=seed)
+    if gt is None:
+        gt = _exact_ground_truth(shards, queries, k)
+    gt = gt[:, :k]
     curve: dict[str, float] = {}
     chosen = None
     cand = 1
@@ -327,10 +354,17 @@ def quantize(
     LOGGER.info(
         "building %s over %d×%d", params.index_key, shards.total, shards.d
     )
+    if nprobe is not None and nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     t0 = time.time()
     timings: dict = {}
     index = build_index_from_shards(
-        shards, params, nprobe=nprobe or 16, refine=refine, timings=timings
+        shards,
+        params,
+        nprobe=16 if nprobe is None else nprobe,
+        refine=refine,
+        timings=timings,
+        scratch_dir=os.path.dirname(os.path.abspath(index_path)),
     )
     infos = {
         "index_key": params.index_key,
@@ -338,8 +372,15 @@ def quantize(
         "d": shards.d,
         **timings,
     }
+    # one brute-force ground-truth pass (k=40 ⊇ calibration's k=10) shared
+    # between calibration and recall scoring — the full-corpus scan is the
+    # expensive evaluation step
+    queries = gt = None
+    if compute_recall:
+        queries = shards.sample(100, seed=7)
+        gt = _exact_ground_truth(shards, queries, 40)
     if nprobe is None and compute_recall:
-        cal = calibrate_nprobe(index, shards)
+        cal = calibrate_nprobe(index, shards, queries=queries, gt=gt)
         if cal:
             infos["nprobe_calibration"] = cal
     elif nprobe is None and hasattr(index, "nprobe"):
@@ -352,7 +393,7 @@ def quantize(
     infos["build_seconds"] = time.time() - t0
     index.save(index_path)  # after calibration: nprobe persists in the header
     if compute_recall:
-        infos.update(score_index(index, shards))
+        infos.update(score_index(index, shards, queries=queries, gt=gt))
     with open(infos_path, "w") as f:
         json.dump(infos, f)
     return index, infos

@@ -20,7 +20,9 @@ import numpy as np
 from .ivfpq import IVFPQIndex
 
 
-def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
+def combine_ivfpq(
+    indices: list[IVFPQIndex], scratch_dir: str | None = None
+) -> IVFPQIndex:
     base = indices[0]
     for other in indices[1:]:
         if not np.allclose(base.coarse_centroids, other.coarse_centroids):
@@ -75,7 +77,16 @@ def combine_ivfpq(indices: list[IVFPQIndex]) -> IVFPQIndex:
         if ok and ids.min() >= 0 and ids.max() == total - 1 and len(
             np.unique(ids)
         ) == total:
-            refine = np.empty((total, base.d), np.float16)
+            # disk-backed: the merged store is ~total·d·2 bytes (100 GB at
+            # the 100M×512 tier) and must not live in RAM (same contract as
+            # build.py's refine path)
+            from .build import scratch_memmap
+
+            refine = scratch_memmap(
+                (total, base.d),
+                np.float16,
+                [scratch_dir] if scratch_dir else [],
+            )
             for ix, (lo, n) in zip(indices, shard_ranges):
                 refine[lo : lo + n] = np.asarray(ix.refine_vectors)
         else:
@@ -150,8 +161,9 @@ def index_combiner(indices_folder: str, output_folder: str):
     with open(os.path.join(paths[0], "header.json")) as f:
         kind = json.load(f)["type"]
     indices = [load_index(p) for p in paths]
+    os.makedirs(output_folder, exist_ok=True)
     if kind == "ivfpq":
-        merged = combine_ivfpq(indices)
+        merged = combine_ivfpq(indices, scratch_dir=output_folder)
     elif kind == "ivf_int8":
         merged = combine_ivf_int8(indices)
     else:

@@ -175,22 +175,37 @@ class IVFInt8Index:
         sizes = self.list_sizes()
         lmax = max(1, int(sizes.max()) if sizes.size else 1)
         nlist = self.nlist
+        if self.ntotal >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"ivf_int8 device image supports < 2^31 rows per index "
+                f"(got {self.ntotal}); shard the corpus"
+            )
         rows = np.zeros((nlist, lmax, self.d), np.int8)
         scales = np.zeros((nlist, lmax), np.float32)
-        ids = np.full((nlist, lmax), -1, np.int32)
+        # the device image carries int32 CSR POSITIONS, not vector ids —
+        # ids are int64 on disk and may exceed 2^31 (e.g. after combining);
+        # positions are bounded by the row count and map back through
+        # list_ids on the host after readback
+        pos = np.full((nlist, lmax), -1, np.int32)
         for li in range(nlist):
             s, e = self.list_offsets[li], self.list_offsets[li + 1]
             m = int(e - s)
             if m:
                 rows[li, :m] = self.q_vectors[s:e]
                 scales[li, :m] = self.scales[s:e]
-                ids[li, :m] = self.list_ids[s:e]
+                pos[li, :m] = np.arange(s, e, dtype=np.int32)
         self._device = {
             "coarse": jnp.asarray(self.coarse_centroids),
             "rows": jnp.asarray(rows),
             "scales": jnp.asarray(scales),
-            "ids": jnp.asarray(ids),
+            "ids": jnp.asarray(pos),
         }
+
+    def _positions_to_ids(self, pos: np.ndarray) -> np.ndarray:
+        """int32 device CSR positions → int64 vector ids (-1 passes through)."""
+        pos = np.asarray(pos, np.int64)
+        ids = np.asarray(self.list_ids)[np.clip(pos, 0, None)]
+        return np.where(pos >= 0, ids, -1)
 
     # -- search ------------------------------------------------------------
 
@@ -215,7 +230,7 @@ class IVFInt8Index:
             self.exact_topk,
         )
         vals = np.asarray(vals)
-        ids = np.asarray(ids, np.int64)
+        ids = self._positions_to_ids(np.asarray(ids))
         k_eff = vals.shape[1]
         if k_eff < k:
             vals = np.pad(

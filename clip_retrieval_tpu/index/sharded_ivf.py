@@ -58,8 +58,15 @@ class ShardedIVFInt8Index(IVFInt8Index):
         lmax = max(1, int(sizes.max()) if sizes.size else 1)
         nlist = self.nlist
         nlist_pad = pad_to_multiple(max(nlist, n_dev), n_dev)
+        if self.ntotal >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"ivf_int8 device image supports < 2^31 rows per index "
+                f"(got {self.ntotal}); shard the corpus"
+            )
         rows = np.zeros((nlist_pad, lmax, self.d), np.int8)
         scales = np.zeros((nlist_pad, lmax), np.float32)
+        # int32 CSR positions, not raw ids (ids are int64 and may exceed
+        # 2^31); mapped back through list_ids on host after the merge
         ids = np.full((nlist_pad, lmax), -1, np.int32)
         for li in range(nlist):
             s, e = self.list_offsets[li], self.list_offsets[li + 1]
@@ -67,7 +74,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
             if m:
                 rows[li, :m] = self.q_vectors[s:e]
                 scales[li, :m] = self.scales[s:e]
-                ids[li, :m] = self.list_ids[s:e]
+                ids[li, :m] = np.arange(s, e, dtype=np.int32)
         coarse = np.zeros((nlist_pad, self.d), np.float32)
         coarse[:nlist] = self.coarse_centroids
         # padding lists (nlist..nlist_pad) are masked out of the probe by an
@@ -194,7 +201,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
             self.exact_topk,
         )
         vals = np.asarray(vals)
-        ids = np.asarray(ids, np.int64)
+        ids = self._positions_to_ids(np.asarray(ids))
         k_eff = vals.shape[1]
         if k_eff < k:
             vals = np.pad(

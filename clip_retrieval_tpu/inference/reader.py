@@ -308,7 +308,11 @@ def _open_shard(url: str):
         finally:
             proc.stdout.close()
             rc = proc.wait()
-            if rc not in (0, None):
+            # negative rc = killed by signal; closing stdout early (consumer
+            # stopped iterating, or trailing tar padding left in the pipe)
+            # SIGPIPEs the writer — that is normal teardown, not a shard
+            # failure.  Only a command that *exited* nonzero is an error.
+            if rc is not None and rc > 0:
                 raise RuntimeError(f"pipe shard command failed rc={rc}: {url}")
     else:
         import fsspec

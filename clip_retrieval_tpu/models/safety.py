@@ -220,10 +220,20 @@ def load_safety_model(clip_model: str) -> Optional[JaxMLP]:
     h14_path = os.path.expanduser(
         "~/.cache/clip_retrieval/h14_nsfw_model/model.pt"
     )
-    if clip_model == "open_clip:ViT-H-14" and _maybe_download(
-        h14_url, h14_path
+    if (
+        clip_model == "open_clip:ViT-H-14"
+        and not os.path.exists(h14_path)  # candidates loop already tried it
+        and _maybe_download(h14_url, h14_path)
     ):  # pragma: no cover
-        return load_safety_model(clip_model)
+        # load the fetched file directly — recursing would re-download and
+        # recurse forever if the artifact is unloadable (e.g. an error page)
+        try:
+            import torch
+
+            sd = torch.load(h14_path, map_location="cpu", weights_only=False)
+            return JaxMLP(_torch_mlp_to_weights(sd))
+        except Exception as e:
+            print(f"downloaded H14 NSFW checkpoint failed to load: {e}")
     print(
         f"WARNING: no NSFW model weights found for {clip_model}; "
         "use_safety_model requests will be ignored"

@@ -85,3 +85,24 @@ def test_index_key_parsing():
     assert p.index_key == "IVF4096,Flat8"
     p2 = parse_index_key("IVF128,INT8", 512)
     assert p2.kind == "ivf_int8"
+
+
+def test_large_int64_ids_survive_search():
+    """Vector ids above 2^31 (int64, e.g. after combining shards) must come
+    back intact — the device image carries int32 CSR positions, never
+    truncated ids."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ix = IVFInt8Index.from_vectors(x, nlist=8, nprobe=8, kmeans_niter=4)
+    big = np.int64(3) << 32
+    ix.list_ids = np.asarray(ix.list_ids, np.int64) + big
+    _, got = ix.search(x[:5], 3)
+    assert got.dtype == np.int64
+    assert (got[:, 0] == np.arange(5) + big).all(), got[:, 0]
+
+    from clip_retrieval_tpu.index.sharded_ivf import ShardedIVFInt8Index
+
+    sh = ShardedIVFInt8Index.from_index(ix)
+    _, got_s = sh.search(x[:5], 3)
+    assert (got_s[:, 0] == np.arange(5) + big).all(), got_s[:, 0]
