@@ -406,8 +406,16 @@ class KnnService:
                     index, np.asarray(query, np.float32), num_result_ids
                 )
             if clip_resource.metadata_is_ordered_by_ivf:
-                results = np.take(
-                    clip_resource.ivf_old_to_new_mapping, indices[0]
+                # -1 padding must survive the remap as -1: np.take would
+                # wrap it to mapping[-1] and fabricate a hit
+                raw = indices[0]
+                results = np.where(
+                    raw >= 0,
+                    np.take(
+                        clip_resource.ivf_old_to_new_mapping,
+                        np.clip(raw, 0, None),
+                    ),
+                    -1,
                 )
             else:
                 results = indices[0]

@@ -44,14 +44,35 @@ def parquet_to_hdf5(
     columns (NaN/NUL scrubbed like the reference, clip_back.py:539-566)."""
     import h5py
     import pandas as pd
+    import pyarrow.parquet as pq
 
+    files = sorted(Path(parquet_folder).glob("*.parquet"))
+    # fix the column set up front from the UNION of shard schemas: appending
+    # per-shard columns independently would misalign any column missing
+    # from an early shard (its rows would map onto the wrong ids)
+    import pyarrow as pa
+
+    all_cols: dict[str, str] = {}  # name -> "str" | "num"
+    for f_ in files:
+        schema = pq.ParquetFile(f_).schema_arrow
+        for field in schema:
+            if field.name in columns_to_return and field.name not in all_cols:
+                all_cols[field.name] = (
+                    "str"
+                    if pa.types.is_string(field.type)
+                    or pa.types.is_large_string(field.type)
+                    or pa.types.is_binary(field.type)
+                    else "num"
+                )
     with h5py.File(output_hdf5_file, "w") as f:
         ds = f.create_group("dataset")
-        for parquet_file in sorted(Path(parquet_folder).glob("*.parquet")):
+        for parquet_file in files:
             df = pd.read_parquet(parquet_file)
-            for k in df.keys():
-                if k not in columns_to_return:
-                    continue
+            for k, kind in all_cols.items():
+                if k not in df.columns:
+                    # shard lacks the column: type-consistent fill keeps
+                    # every column aligned to the same global row range
+                    df[k] = "" if kind == "str" else 0.0
                 col = df[k]
                 if str(col.dtype) in ("float64", "float32"):
                     col = col.fillna(0.0)
@@ -131,6 +152,12 @@ def load_metadata_provider(
     (reference clip_back.py:618-653)."""
     parquet_folder = indice_folder + "/metadata"
     ivf_old_to_new_mapping = None
+    if reorder_metadata_by_ivf_index and (use_arrow or not enable_hdf5):
+        print(
+            "WARNING: reorder_metadata_by_ivf_index requires the hdf5 "
+            "provider (enable_hdf5=True, use_arrow=False) — serving "
+            "without IVF metadata reordering"
+        )
     if use_arrow:
         return ArrowMetadataProvider(parquet_folder), None
     if enable_hdf5:

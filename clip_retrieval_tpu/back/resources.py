@@ -126,7 +126,13 @@ def load_clip_index(clip_options: ClipOptions) -> ClipResource:
         if clip_options.reorder_metadata_by_ivf_index
         else None,
         columns_to_return=clip_options.columns_to_return,
-        metadata_is_ordered_by_ivf=clip_options.reorder_metadata_by_ivf_index,
+        # only claim IVF ordering when the provider actually produced a
+        # mapping — with use_arrow/enable_hdf5 combinations that skip the
+        # reorder, a bare flag would make every query np.take(None, ...)
+        metadata_is_ordered_by_ivf=(
+            clip_options.reorder_metadata_by_ivf_index
+            and ivf_mapping is not None
+        ),
     )
 
 

@@ -24,10 +24,27 @@ import numpy as np
 
 
 def get_old_to_new_mapping(index) -> np.ndarray:
-    """(ntotal,) array: old_to_new[old_id] = row in IVF-ordered storage."""
+    """(ntotal,) array: old_to_new[old_id] = row in IVF-ordered storage.
+
+    Requires ids to be exactly 0..ntotal-1 (what clip_index builds emit).
+    Combined indices whose ids don't tile that range (combiner warns about
+    these) cannot be IVF-reordered — raise instead of returning a mapping
+    with uninitialized garbage entries."""
     list_ids = np.asarray(index.list_ids)
-    mapping = np.empty((list_ids.shape[0],), np.int64)
-    mapping[list_ids] = np.arange(list_ids.shape[0], dtype=np.int64)
+    n = list_ids.shape[0]
+    if list_ids.size and (
+        list_ids.min() < 0
+        or list_ids.max() >= n
+        or np.unique(list_ids).size != n
+    ):
+        raise ValueError(
+            "IVF metadata reordering requires ids to be a permutation of "
+            f"0..{n - 1}; this index's ids are not (e.g. a combined index "
+            "with offset ids) — serve it without "
+            "reorder_metadata_by_ivf_index"
+        )
+    mapping = np.full((n,), -1, np.int64)
+    mapping[list_ids] = np.arange(n, dtype=np.int64)
     return mapping
 
 
@@ -112,18 +129,28 @@ class Hdf5Sink:
 def external_sort_parquet(
     sink, input_folder: str, buffer_size: int = 10 ** 6
 ):
-    """k-way heap merge of per-shard new_id-sorted parquet into the sink."""
+    """k-way heap merge of per-shard new_id-sorted parquet into the sink.
+
+    Bounded memory: each input file is streamed one row-group batch at a
+    time (pyarrow iter_batches) — never materialized whole — so resident
+    usage is O(files · row_group) + the output buffer, which is what makes
+    the billion-row reorder (reference ivf_metadata_ordering.py:145-190)
+    feasible.  Rows are plain dicts via to_dict('records'), preserving
+    column names that itertuples would mangle (keywords, spaces, dupes)."""
     import pandas as pd
+    import pyarrow.parquet as pq
 
     files = sorted(Path(input_folder).glob("*.parquet"))
-    frames = [pd.read_parquet(f) for f in files]
 
-    def row_iter(df):
-        for row in df.itertuples(index=False):
-            yield row._asdict()
+    def row_iter(path):
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches():
+            for row in batch.to_pandas().to_dict("records"):
+                yield row
 
-    iters = [row_iter(df) for df in frames]
-    merged = heapq.merge(*iters, key=lambda r: r["new_id"])
+    merged = heapq.merge(
+        *[row_iter(f) for f in files], key=lambda r: r["new_id"]
+    )
     buffer: list[dict] = []
     for row in merged:
         buffer.append(row)

@@ -64,11 +64,15 @@ class LoggerWriter:
     def _write(self, totals, fs, path, wip: bool):
         fs.makedirs(path, exist_ok=True)
         wip_file = f"{path}/wip_{self.partition_id}.json"
+        target = wip_file if wip else f"{path}/{self.partition_id}.json"
+        # write-then-rename so the polling reader never observes partial
+        # JSON (the .tmp suffix keeps it outside the reader's *.json glob)
+        tmp = target + ".tmp"
+        with fs.open(tmp, "w") as f:
+            f.write(json.dumps(totals))
+        fs.mv(tmp, target)
         if not wip and fs.exists(wip_file):
             fs.rm(wip_file)
-        target = wip_file if wip else f"{path}/{self.partition_id}.json"
-        with fs.open(target, "w") as f:
-            f.write(json.dumps(totals))
 
 
 class LoggerReader:
@@ -139,13 +143,20 @@ class LoggerReader:
                 import wandb
 
                 wandb_run = wandb.init(project=self.wandb_project)
-            except ImportError:
-                print("wandb not available; disabling wandb logging")
+            except Exception as e:  # not just ImportError: a login/network
+                # failure must degrade to stdout-only, not kill the reader
+                print(f"wandb unavailable ({e}); disabling wandb logging")
         last: dict[str, float] = {}
         while True:
             stopped = self.stop_event.wait(timeout=1.0)
             agg = self._aggregate(self._read_stats(fs, path))
-            if agg.get("sample_count", 0) and agg != last:
+            # compare ignoring wall-clock-derived fields: sample_per_sec
+            # changes every tick even with no new data, which would spam a
+            # progress line + wandb step per second on stalled runs
+            changed = {
+                k: v for k, v in agg.items() if k != "sample_per_sec"
+            } != {k: v for k, v in last.items() if k != "sample_per_sec"}
+            if agg.get("sample_count", 0) and (changed or stopped):
                 print(
                     f"sample_count={int(agg['sample_count'])} "
                     f"sample_per_sec={agg['sample_per_sec']:.1f} "

@@ -29,6 +29,10 @@ def _np(x) -> np.ndarray:
     # torch tensor (cpu) or anything with .numpy()
     try:
         return x.detach().cpu().numpy()
+    except TypeError:
+        # torch bf16/fp8 tensors have no numpy dtype — upcast first
+        # (bfloat16 checkpoints are common for modern finetunes)
+        return x.detach().cpu().float().numpy()
     except AttributeError:
         return np.asarray(x)
 

@@ -109,3 +109,34 @@ def test_reorder_and_external_sort(tmp_path):
     assert len(sink.rows) == 10
     # row at new_id 0 must be old id 9 ("c9")
     assert sink.rows[0]["caption"] == "c9"
+
+
+def test_parquet_to_hdf5_differing_shard_schemas(tmp_path):
+    """A column missing from an early shard must stay row-aligned (it was
+    previously appended at offset 0, shifting every later row's value onto
+    the wrong id)."""
+    import pandas as pd
+
+    from clip_retrieval_tpu.back.metadata import (
+        Hdf5MetadataProvider,
+        parquet_to_hdf5,
+    )
+
+    folder = tmp_path / "meta"
+    folder.mkdir()
+    # shard 0: caption only; shard 1: caption + url
+    pd.DataFrame({"caption": ["a", "b"]}).to_parquet(folder / "m0.parquet")
+    pd.DataFrame(
+        {"caption": ["c", "d"], "url": ["u2", "u3"]}
+    ).to_parquet(folder / "m1.parquet")
+    out = tmp_path / "meta.hdf5"
+    parquet_to_hdf5(str(folder), str(out), ["caption", "url"])
+    prov = Hdf5MetadataProvider(str(out))
+    def _s(v):
+        return v.decode() if isinstance(v, bytes) else v
+
+    rows = prov.get([0, 1, 2, 3])
+    assert [_s(r["caption"]) for r in rows] == ["a", "b", "c", "d"]
+    # url of global row 2 must be u2 (shard 1's first row), not shifted
+    assert _s(rows[2]["url"]) == "u2" and _s(rows[3]["url"]) == "u3"
+    assert _s(rows[0]["url"]) == ""  # missing-shard fill

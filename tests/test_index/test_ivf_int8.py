@@ -106,3 +106,20 @@ def test_large_int64_ids_survive_search():
     sh = ShardedIVFInt8Index.from_index(ix)
     _, got_s = sh.search(x[:5], 3)
     assert (got_s[:, 0] == np.arange(5) + big).all(), got_s[:, 0]
+
+
+def test_old_to_new_mapping_rejects_non_permutation_ids():
+    """Combined indices with offset ids cannot be IVF-reordered — the
+    mapping must raise, not return uninitialized garbage."""
+    import pytest
+
+    from clip_retrieval_tpu.index.metadata_order import get_old_to_new_mapping
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ix = IVFInt8Index.from_vectors(x, nlist=4, nprobe=4, kmeans_niter=3)
+    assert get_old_to_new_mapping(ix).shape == (300,)  # contiguous: fine
+    ix.list_ids = np.asarray(ix.list_ids, np.int64) + 1000
+    with pytest.raises(ValueError, match="permutation"):
+        get_old_to_new_mapping(ix)
