@@ -30,6 +30,15 @@ def clip_end2end(
     from .index.build import clip_index
     from .inference.main import clip_inference
 
+    if "://" in output_folder:
+        # the index-build and serving stages work on local paths;
+        # os.path.join on a URL would silently create a literal ./s3:/...
+        # tree (the reference's clip_end2end has the same constraint)
+        raise ValueError(
+            "end2end requires a local output_folder; for remote storage "
+            "run the stages individually (inference supports fsspec "
+            "output, then copy/build the index where it will be served)"
+        )
     fs, out = fsspec.core.url_to_fs(output_folder)
     fs.makedirs(out, exist_ok=True)
     embeddings_folder = os.path.join(output_folder, "embeddings")

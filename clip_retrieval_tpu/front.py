@@ -47,6 +47,11 @@ def add_static_routes(router, default_backend, default_index, url_column):
     for p in front.rglob("*"):
         if p.is_file():
             rel = "/" + p.relative_to(front).as_posix()
+            if rel == "/config.json":
+                # the dynamic /config.json carries the configured backend /
+                # index; a stale file shipped in the front build must not
+                # shadow it
+                continue
             router.route("GET", rel, file_handler(p))
             if rel == "/index.html":
                 router.route("GET", "/", file_handler(p))

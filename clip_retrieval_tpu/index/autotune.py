@@ -69,7 +69,16 @@ def parse_index_key(key: str, d: int) -> IndexParams:
         elif part.upper().startswith("IVF"):
             nlist = int(re.match(r"IVF(\d+)", part, re.I).group(1))
         elif part.upper().startswith("PQ"):
-            m = int(re.match(r"PQ(\d+)", part, re.I).group(1))
+            pm = re.fullmatch(r"PQ(\d+)(?:x(\d+))?", part, re.I)
+            if pm is None:
+                raise ValueError(f"unsupported PQ spec {part!r} in {key!r}")
+            if pm.group(2) is not None and int(pm.group(2)) != 8:
+                # silently treating PQ64x4 as 8-bit would double the memory
+                # the faiss-style key was chosen for
+                raise ValueError(
+                    f"only 8-bit PQ codes are supported (got {part!r})"
+                )
+            m = int(pm.group(1))
         elif part.upper().startswith(("RFLAT", "REFINE")):
             use_refine = True
     if nlist is None or m is None:
@@ -85,6 +94,12 @@ def parse_index_key(key: str, d: int) -> IndexParams:
 def _pick_m(d: int, budget_per_vec: float) -> int:
     candidates = [c for c in (256, 192, 128, 96, 64, 48, 32, 24, 16, 12, 8, 4)
                   if c <= d and d % c == 0]
+    if not candidates:
+        raise ValueError(
+            f"d={d} has no supported PQ sub-quantizer count (needs a "
+            "divisor in 4..256); pass an explicit index_key (e.g. Flat8) "
+            "or pad the embedding dim"
+        )
     for c in candidates:
         if c <= budget_per_vec:
             return c

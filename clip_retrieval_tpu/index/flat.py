@@ -46,6 +46,14 @@ class FlatIndex:
         return self.vectors.shape[0] + sum(c.shape[0] for c in self._chunks)
 
     def add(self, x: np.ndarray):
+        if self.ids is not None:
+            # positions past len(self.ids) would resolve out of bounds (or
+            # silently mislabel); faiss likewise rejects plain add() on an
+            # ID-mapped index
+            raise ValueError(
+                "add() on an explicit-ids FlatIndex is unsupported; "
+                "construct with vectors= and ids= instead"
+            )
         self._chunks.append(np.asarray(x, np.float16))
         self._device_cache = None
 
@@ -91,21 +99,38 @@ class FlatIndex:
         return vals.astype(np.float32), out_ids.astype(np.int64)
 
     def range_search(self, queries: np.ndarray, radius: float):
-        """faiss-style (lims, D, I): all matches with IP ≥ radius."""
+        """faiss-style (lims, D, I): all matches with IP ≥ radius.
+
+        The corpus is scanned in chunks (like search) — a one-shot fp32
+        copy of an mmap'd corpus would materialize 2× the index size in
+        host RAM."""
         self._materialize()
         q = np.asarray(queries, np.float32)
-        scores = q @ self.vectors.astype(np.float32).T
+        b = q.shape[0]
+        n = self.vectors.shape[0]
+        ds: list[list[np.ndarray]] = [[] for _ in range(b)]
+        is_: list[list[np.ndarray]] = [[] for _ in range(b)]
+        for start in range(0, n, _DEVICE_CHUNK):
+            block = self.vectors[start : start + _DEVICE_CHUNK].astype(
+                np.float32
+            )
+            scores = q @ block.T
+            for bi in range(b):
+                sel = np.nonzero(scores[bi] >= radius)[0]
+                if sel.size:
+                    ds[bi].append(scores[bi][sel])
+                    is_[bi].append(self._resolve(sel + start))
         lims = [0]
-        ds, is_ = [], []
-        for row in scores:
-            sel = np.nonzero(row >= radius)[0]
-            ds.append(row[sel])
-            is_.append(self._resolve(sel))
-            lims.append(lims[-1] + sel.size)
+        flat_d, flat_i = [], []
+        for bi in range(b):
+            cnt = sum(a.size for a in ds[bi])
+            lims.append(lims[-1] + cnt)
+            flat_d.extend(ds[bi])
+            flat_i.extend(is_[bi])
         return (
             np.asarray(lims, np.int64),
-            np.concatenate(ds) if ds else np.zeros((0,), np.float32),
-            np.concatenate(is_) if is_ else np.zeros((0,), np.int64),
+            np.concatenate(flat_d) if flat_d else np.zeros((0,), np.float32),
+            np.concatenate(flat_i) if flat_i else np.zeros((0,), np.int64),
         )
 
     def reconstruct_batch(self, ids: np.ndarray) -> np.ndarray:
@@ -120,9 +145,14 @@ class FlatIndex:
     def search_and_reconstruct(self, queries: np.ndarray, k: int):
         vals, ids = self.search(queries, k)
         flat = ids.reshape(-1)
-        safe = np.where(flat >= 0, flat, 0)
+        if self.ntotal == 0:
+            return vals, ids, np.zeros((*ids.shape, self.d), np.float32)
+        # -1 padding must map to SOME valid id for the batch lookup (rows
+        # are zeroed after); with explicit ids, 0 is not necessarily valid
+        placeholder = int(self.ids[0]) if self.ids is not None else 0
+        safe = np.where(flat >= 0, flat, placeholder)
         recon = self.reconstruct_batch(safe).reshape(*ids.shape, self.d)
-        recon[flat.reshape(ids.shape) < 0] = 0
+        recon[ids < 0] = 0
         return vals, ids, recon
 
     # -- io ----------------------------------------------------------------

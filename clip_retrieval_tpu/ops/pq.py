@@ -169,8 +169,7 @@ def train_opq(
         n = x.shape[0]
     xd = jnp.asarray(x)
     rotation = jnp.eye(d, dtype=jnp.float32)
-    pq = None
-    for it in range(opq_iters):
+    for it in range(max(opq_iters, 0)):
         xr = jnp.dot(xd, rotation, preferred_element_type=jnp.float32)
         pq_it = train_pq(
             np.asarray(xr), m, ksub, niter=pq_niter, seed=seed + it
@@ -181,5 +180,12 @@ def train_opq(
         cov = jnp.dot(xd.T, xhat, preferred_element_type=jnp.float32)
         u, _, vt = jnp.linalg.svd(cov, full_matrices=False)
         rotation = jnp.dot(u, vt, preferred_element_type=jnp.float32)
-        pq = pq_it
+    # final codebooks must be fitted under the FINAL rotation — the loop's
+    # last pq was trained under the previous one (a half-iteration mismatch
+    # that silently degrades quantization error); also covers opq_iters=0
+    # (identity rotation, plain PQ)
+    xr = jnp.dot(xd, rotation, preferred_element_type=jnp.float32)
+    pq = train_pq(
+        np.asarray(xr), m, ksub, niter=pq_niter, seed=seed + opq_iters
+    )
     return PQCodebooks(codebooks=pq.codebooks, rotation=rotation)

@@ -202,3 +202,40 @@ def test_autotune():
     assert 512 % big.m == 0
     # total size under budget
     assert 50_000_000 * (big.m + 8) + big.nlist * 512 * 4 < (5 << 30)
+
+
+def test_flat_explicit_ids_reconstruct_with_padding():
+    """search_and_reconstruct past ntotal on an explicit-ids index: -1 rows
+    zero-fill instead of KeyError-ing on a nonexistent id 0."""
+    x = _unit(np.random.default_rng(0).normal(size=(2, 8)))
+    ix = FlatIndex(8, vectors=x, ids=np.array([100, 200]))
+    vals, ids, recon = ix.search_and_reconstruct(x[:1], 5)
+    assert ids.shape == (1, 5) and set(ids[0][:2]) == {100, 200}
+    assert (ids[0][2:] == -1).all()
+    assert (recon[0][2:] == 0).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="explicit-ids"):
+        ix.add(x)
+
+
+def test_flat_range_search_chunked(monkeypatch):
+    """range_search equals the one-shot result when the corpus spans
+    multiple scan chunks."""
+    import clip_retrieval_tpu.index.flat as flat_mod
+
+    rng = np.random.default_rng(1)
+    x = _unit(rng.normal(size=(300, 16)))
+    ix = FlatIndex(16)
+    ix.add(x)
+    lims0, d0, i0 = ix.range_search(x[:4], 0.5)
+    monkeypatch.setattr(flat_mod, "_DEVICE_CHUNK", 64)  # force chunking
+    ix2 = FlatIndex(16)
+    ix2.add(x)
+    lims1, d1, i1 = ix2.range_search(x[:4], 0.5)
+    np.testing.assert_array_equal(lims0, lims1)
+    # per-query result SETS match (order within a query may differ)
+    for q in range(4):
+        s0 = set(i0[lims0[q]:lims0[q + 1]])
+        s1 = set(i1[lims1[q]:lims1[q + 1]])
+        assert s0 == s1
