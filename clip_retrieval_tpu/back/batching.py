@@ -41,6 +41,7 @@ class MicroBatcher:
     ):
         self.fn_batch = fn_batch
         self.max_batch = max_batch
+        self.name = name
         self.max_wait = max_wait_ms / 1000.0
         self.queue: queue.Queue[_Item] = queue.Queue()
         self._thread = threading.Thread(
@@ -72,6 +73,13 @@ class MicroBatcher:
                     break
             try:
                 results = self.fn_batch([it.payload for it in items])
+                if len(results) != len(items):
+                    # a short/long result list would otherwise leave the
+                    # surplus waiters resolving to a silent None
+                    raise RuntimeError(
+                        f"{self.name}: batch fn returned {len(results)} "
+                        f"results for {len(items)} payloads"
+                    )
                 for it, res in zip(items, results):
                     it.result = res
             except BaseException as e:  # propagate per item

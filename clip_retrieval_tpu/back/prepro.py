@@ -10,6 +10,7 @@ read is retried once (transient fs failures).
 from __future__ import annotations
 
 import logging
+import time
 from pathlib import Path
 
 LOGGER = logging.getLogger("parquet_to_arrow")
@@ -42,25 +43,44 @@ def parquet_to_arrow(
         file_idx += 1
         rows_in_file = 0
 
-    for f in files:
-        table = None
-        for attempt in range(2):  # retry-once contract
-            try:
-                table = pq.read_table(str(f), columns=columns_to_return)
-                break
-            except Exception as e:
-                LOGGER.warning("read of %s failed (try %d): %s", f, attempt, e)
-        if table is None:
-            raise IOError(f"could not read {f}")
-        if writer is None:
-            open_writer(table.schema)
-        elif rows_in_file + table.num_rows > max_rows_per_file:
+    try:
+        for f in files:
+            table = None
+            last_err = None
+            for attempt in range(2):  # retry-once contract
+                try:
+                    table = pq.read_table(str(f), columns=columns_to_return)
+                    break
+                except Exception as e:
+                    last_err = e
+                    LOGGER.warning(
+                        "read of %s failed (try %d): %s", f, attempt, e
+                    )
+                    time.sleep(1)  # the retry exists for transient fs blips
+            if table is None:
+                raise IOError(f"could not read {f}") from last_err
+            if writer is None:
+                open_writer(table.schema)
+            elif rows_in_file + table.num_rows > max_rows_per_file:
+                writer.close()
+                sink.close()
+                open_writer(table.schema)
+            writer.write_table(table)
+            rows_in_file += table.num_rows
+        if writer is not None:
             writer.close()
             sink.close()
-            open_writer(table.schema)
-        writer.write_table(table)
-        rows_in_file += table.num_rows
-    if writer is not None:
-        writer.close()
-        sink.close()
+    except BaseException:
+        # never leave a footer-less .arrow behind: a truncated IPC file
+        # cannot be mmap'd at serve time, and a rerun would pick it up
+        if writer is not None:
+            try:
+                writer.close()
+                sink.close()
+            except Exception:
+                pass
+            partial = Path(output_arrow_folder) / f"{file_idx - 1}.arrow"
+            if partial.exists():
+                partial.unlink()
+        raise
     LOGGER.info("wrote %d arrow file(s)", file_idx)

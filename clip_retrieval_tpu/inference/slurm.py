@@ -105,11 +105,28 @@ class SlurmDistributor:
         job_id = out.strip().split()[-1]
         print(f"submitted slurm job {job_id}")
         start = time.time()
+        squeue_failures = 0
         try:
             while True:
-                q = subprocess.check_output(
-                    ["squeue", "-j", job_id, "-h"], universal_newlines=True
-                ).strip()
+                try:
+                    q = subprocess.check_output(
+                        ["squeue", "-j", job_id, "-h"],
+                        universal_newlines=True,
+                    ).strip()
+                    squeue_failures = 0
+                except subprocess.CalledProcessError as e:
+                    # transient slurmctld outages exit nonzero, and a
+                    # finished job past MinJobAge yields 'Invalid job id' —
+                    # neither should crash the wait loop and orphan the job
+                    squeue_failures += 1
+                    if squeue_failures >= 30:
+                        print(
+                            f"squeue failing persistently for job "
+                            f"{job_id} ({e}); assuming it finished"
+                        )
+                        return
+                    time.sleep(10)
+                    continue
                 if self.verbose_wait:
                     print(f"squeue: {q!r}")
                 if not q:

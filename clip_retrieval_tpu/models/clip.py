@@ -83,7 +83,13 @@ def init_clip(cfg: CLIPConfig, key: jax.Array | int = 0) -> Params:
     """Random-init parameters (openai-style scales)."""
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
-    kv, kt, kvb, ktb, kproj_v, kproj_t, ktok = jax.random.split(key, 7)
+    # one independent key per tensor — reusing a key makes two "random"
+    # tensors share their leading values (e.g. class_emb duplicating the
+    # first row of proj)
+    (
+        kv, kt, kvb, ktb, kproj_v, kproj_t, ktok,
+        kcls, kpatch, kblocks_v,
+    ) = jax.random.split(key, 10)
     w = cfg.vision_width
     tw = cfg.text_width
     v_mlp = int(round(cfg.vision_width * cfg.vision_mlp_ratio))
@@ -91,17 +97,17 @@ def init_clip(cfg: CLIPConfig, key: jax.Array | int = 0) -> Params:
     visual = {
         "patch_embed": {
             "kernel": jax.random.normal(
-                kv, (cfg.patch_size, cfg.patch_size, 3, w), jnp.float32
+                kpatch, (cfg.patch_size, cfg.patch_size, 3, w), jnp.float32
             )
             * (w ** -0.5)
         },
-        "class_emb": jax.random.normal(kproj_v, (w,), jnp.float32) * w ** -0.5,
+        "class_emb": jax.random.normal(kcls, (w,), jnp.float32) * w ** -0.5,
         "pos_emb": jax.random.normal(
             kvb, (cfg.vision_seq_len, w), jnp.float32
         )
         * w ** -0.5,
         "ln_pre": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
-        "blocks": _init_block_stack(kv, cfg.vision_layers, w, v_mlp),
+        "blocks": _init_block_stack(kblocks_v, cfg.vision_layers, w, v_mlp),
         "ln_post": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
         "proj": jax.random.normal(kproj_v, (w, cfg.embed_dim), jnp.float32)
         * w ** -0.5,
@@ -221,7 +227,12 @@ def _run_blocks(x, blocks, *, heads, act, eps, causal, attn_impl):
 
 
 def normalize_images(images: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """uint8 (B,H,W,3) or float in [0,1] → CLIP-normalized float."""
+    """uint8 (B,H,W,3) or float in [0,1] → CLIP-normalized float.
+
+    NOTE: `encode_image` applies this ONLY to uint8 inputs — float inputs
+    to `encode_image` are assumed already CLIP-normalized (its contract).
+    Callers holding [0,1] floats must call this helper themselves (or pass
+    uint8)."""
     if images.dtype == jnp.uint8:
         x = images.astype(dtype) / jnp.asarray(255.0, dtype)
     else:

@@ -283,7 +283,13 @@ def config_from_hf(hf_config, out_dim: int) -> MCLIPConfig:
         heads=hf_config.num_attention_heads,
         mlp_dim=hf_config.intermediate_size,
         max_positions=hf_config.max_position_embeddings,
-        pad_token_id=getattr(hf_config, "pad_token_id", 1) or 1,
+        # explicit None check: `or 1` would clobber BERT/DistilBERT's
+        # legitimate pad_token_id=0 and break mask inference + mean pooling
+        pad_token_id=(
+            1
+            if getattr(hf_config, "pad_token_id", None) is None
+            else hf_config.pad_token_id
+        ),
         position_offset=2
         if hf_config.model_type in ("roberta", "xlm-roberta")
         else 0,
@@ -318,6 +324,13 @@ class MCLIPBundle:
             raise RuntimeError("no tokenizer loaded for mCLIP")
         encs = [self.tokenizer.encode(t) for t in texts]
         max_len = min(max(len(e.ids) for e in encs), self.cfg.max_positions - 2)
+        # pad the sequence dim to a power-of-two bucket: every distinct
+        # (B, S) is its own XLA program, and per-request exact lengths in
+        # serving would compile the full encoder once per novel length
+        bucket = 8
+        while bucket < max_len:
+            bucket *= 2
+        max_len = min(bucket, self.cfg.max_positions - 2)
         ids = np.full((len(texts), max_len), self.cfg.pad_token_id, np.int32)
         mask = np.zeros((len(texts), max_len), np.int32)
         for i, e in enumerate(encs):

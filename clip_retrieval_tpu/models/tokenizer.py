@@ -17,6 +17,7 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import Iterable, List, Sequence
 
 import numpy as np
@@ -59,6 +60,11 @@ def _get_pairs(word: Sequence[str]) -> set[tuple[str, str]]:
 
 
 def _clean(text: str) -> str:
+    # openai CLIP cleans with ftfy.fix_text (which NFC-normalizes) + double
+    # html.unescape + whitespace collapse; NFC here keeps decomposed
+    # Unicode (e.g. 'e'+U+0301) tokenizing identically to the composed form
+    # and identically across the python and rust paths
+    text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()
@@ -163,6 +169,14 @@ class CLIPTokenizer:
                     add_prefix_space=False, use_regex=False
                 ),
             ]
+        )
+        # literal '<|startoftext|>'/'<|endoftext|>' in input text must map
+        # to the single special ids like the python path's _cache does
+        # (reusing the existing vocab ids), not be BPE-split into subwords
+        from tokenizers import AddedToken
+
+        tok.add_special_tokens(
+            [AddedToken(SOT, normalized=False), AddedToken(EOT, normalized=False)]
         )
         return tok
 

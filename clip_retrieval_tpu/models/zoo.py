@@ -43,13 +43,24 @@ class ModelBundle:
         )
 
 
-def _make_tokenizer(cfg: configs.CLIPConfig) -> CLIPTokenizer:
+def _make_tokenizer(
+    cfg: configs.CLIPConfig, real_weights: bool = False
+) -> CLIPTokenizer:
     if default_bpe_path() is not None:
         return CLIPTokenizer()
+    if real_weights:
+        # byte-fallback ids index arbitrary rows of a TRAINED token
+        # embedding — every text query would be silently garbage, so this
+        # must be loud for real checkpoints (random-weight configs are fine:
+        # tests/benches only need shape-valid ids)
+        raise ValueError(
+            "no CLIP BPE merges file found but a real checkpoint was "
+            "loaded; text tokenized with the byte-fallback would embed as "
+            "garbage — set CRT_BPE_PATH to the CLIP merges file "
+            "(bpe_simple_vocab_16e6.txt.gz)"
+        )
     tok = CLIPTokenizer.byte_fallback()
     if tok.vocab_size > cfg.vocab_size:
-        # byte-fallback ids exceed the model vocab → clamp into range; only
-        # the test-tiny config (vocab 520 ≥ 514) is exact.
         raise ValueError(
             f"no BPE vocab file available and byte-fallback vocab "
             f"({tok.vocab_size}) exceeds model vocab ({cfg.vocab_size}); "
@@ -66,7 +77,9 @@ def load_model(clip_model: str, checkpoint: str | None = None) -> ModelBundle:
         model = transformers.CLIPModel.from_pretrained(clip_model[3:])
         cfg = loaders.config_from_hf(model.config)
         params = loaders.convert_hf_state_dict(model.state_dict(), cfg)
-        return ModelBundle(clip_model, cfg, params, _make_tokenizer(cfg))
+        return ModelBundle(
+            clip_model, cfg, params, _make_tokenizer(cfg, real_weights=True)
+        )
 
     if ":" in clip_model and checkpoint is None:
         clip_model, checkpoint = clip_model.split(":", 1)
@@ -81,4 +94,9 @@ def load_model(clip_model: str, checkpoint: str | None = None) -> ModelBundle:
                 "weights (embeddings will be meaningless)"
             )
         params = init_clip(cfg, 0)
-    return ModelBundle(clip_model, cfg, params, _make_tokenizer(cfg))
+    return ModelBundle(
+        clip_model,
+        cfg,
+        params,
+        _make_tokenizer(cfg, real_weights=checkpoint is not None),
+    )

@@ -46,3 +46,27 @@ def test_fast_batch_matches_per_item():
     batch = tok(TEXTS[:5], context_length=16)
     singles = np.concatenate([tok([t], 16) for t in TEXTS[:5]])
     np.testing.assert_array_equal(batch, singles)
+
+
+def test_fast_matches_python_decomposed_unicode_and_special_literals():
+    """Decomposed Unicode (NFC normalization) and literal special-token
+    strings must tokenize identically on both paths."""
+    tok = CLIPTokenizer(merges=list(MERGES))
+    if tok._fast is None:
+        pytest.skip("tokenizers library unavailable")
+    slow = CLIPTokenizer(merges=list(MERGES))
+    slow._fast = None
+    texts = [
+        "cafe\u0301 latte",              # e + combining acute (NFC -> e-acute)
+        "the <|endoftext|> marker",
+        "<|startoftext|> twice <|startoftext|>",
+    ]
+    for text in texts:
+        np.testing.assert_array_equal(
+            tok([text], context_length=32),
+            slow([text], context_length=32),
+            err_msg=text,
+        )
+    # the literal maps to the single special id, not BPE subwords
+    ids = tok(["x <|endoftext|> y"], context_length=16)[0]
+    assert (ids == tok.eot_token).sum() >= 2  # literal + terminator
