@@ -18,6 +18,7 @@ import functools
 import math
 import os
 import ssl
+import threading
 import urllib.request
 from collections import defaultdict
 from io import BytesIO
@@ -195,6 +196,12 @@ class KnnService:
         self.clip_resources = clip_resources
         self._encoders: dict[str, _Encoders] = {}
         self._search_batchers: dict[tuple, Any] = {}
+        self._lock = threading.Lock()
+
+    # bound on distinct (index, k) micro-batchers: k is client-controlled
+    # (num_result_ids), and each batcher is a permanent daemon thread — an
+    # unbounded dict would let a k-sweeping client exhaust threads/memory
+    MAX_SEARCH_BATCHERS = 32
 
     def _search_batched(self, index, query: np.ndarray, k: int):
         """Micro-batched index.search_and_reconstruct: concurrent requests
@@ -202,27 +209,40 @@ class KnnService:
         from .batching import MicroBatcher
 
         key = (id(index), k)
-        if key not in self._search_batchers:
+        with self._lock:
+            batcher = self._search_batchers.get(key)
+            if (
+                batcher is None
+                and len(self._search_batchers) < self.MAX_SEARCH_BATCHERS
+            ):
 
-            def run_batch(queries, _index=index, _k=k):
-                batch = np.concatenate(queries, axis=0)
-                d, i, e = _index.search_and_reconstruct(batch, _k)
-                return [
-                    (d[j : j + 1], i[j : j + 1], e[j : j + 1])
-                    for j in range(batch.shape[0])
-                ]
+                def run_batch(queries, _index=index, _k=k):
+                    batch = np.concatenate(queries, axis=0)
+                    d, i, e = _index.search_and_reconstruct(batch, _k)
+                    return [
+                        (d[j : j + 1], i[j : j + 1], e[j : j + 1])
+                        for j in range(batch.shape[0])
+                    ]
 
-            self._search_batchers[key] = MicroBatcher(
-                run_batch, max_batch=32, max_wait_ms=3.0, name=f"search-k{k}"
-            )
-        return self._search_batchers[key].submit(query)
+                batcher = MicroBatcher(
+                    run_batch, max_batch=32, max_wait_ms=3.0,
+                    name=f"search-k{k}",
+                )
+                self._search_batchers[key] = batcher
+        if batcher is None:  # cap reached: serve unbatched, never crash
+            return index.search_and_reconstruct(query, k)
+        return batcher.submit(query)
 
     def _enc(self, indice_name: str) -> _Encoders:
-        if indice_name not in self._encoders:
-            self._encoders[indice_name] = _Encoders(
-                self.clip_resources[indice_name].bundle
-            )
-        return self._encoders[indice_name]
+        # lock the check-then-insert: two concurrent first requests would
+        # otherwise both build _Encoders, leaking a device-resident copy of
+        # the model params in the loser's batcher threads
+        with self._lock:
+            if indice_name not in self._encoders:
+                self._encoders[indice_name] = _Encoders(
+                    self.clip_resources[indice_name].bundle
+                )
+            return self._encoders[indice_name]
 
     # -- query embedding ---------------------------------------------------
 
@@ -396,11 +416,15 @@ class KnnService:
             )
             if poke_nprobe:
                 # dynamic-nprobe requests mutate index state; run unbatched
-                index.nprobe = math.ceil(num_result_ids / 3000)
-                distances, indices, embeddings = index.search_and_reconstruct(
-                    query, num_result_ids
-                )
-                index.nprobe = previous_nprobe
+                # and always restore — an exception mid-search would leave
+                # every later query scanning the inflated nprobe
+                try:
+                    index.nprobe = math.ceil(num_result_ids / 3000)
+                    distances, indices, embeddings = (
+                        index.search_and_reconstruct(query, num_result_ids)
+                    )
+                finally:
+                    index.nprobe = previous_nprobe
             else:
                 distances, indices, embeddings = self._search_batched(
                     index, np.asarray(query, np.float32), num_result_ids

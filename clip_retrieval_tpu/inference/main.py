@@ -96,6 +96,12 @@ def main(
             "WARNING: use_jit=False is accepted for CLI parity but ignored "
             "— the embed step is always one jitted XLA program on TPU"
         )
+    if clip_cache_path is not None:
+        print(
+            "WARNING: clip_cache_path is accepted for CLI parity but "
+            "ignored — pass the checkpoint path via clip_model "
+            "('ViT-B/32:/path/to/ckpt.npz') instead"
+        )
     if input_format == "webdataset":
         if isinstance(input_dataset, str):
             input_dataset = braceexpand(input_dataset)

@@ -112,6 +112,15 @@ class ClipMapper:
     _padded = pad_batch  # backwards-compatible alias
 
     def warmup(self, batch_size: int | None = None):
+        if batch_size and batch_size > self.batch_size:
+            # every production batch is padded to exactly self.batch_size —
+            # a larger warmup would compile minutes of never-used program
+            # while leaving the real shape cold
+            print(
+                f"warmup_batch_size {batch_size} > batch_size "
+                f"{self.batch_size}: warming the production shape instead"
+            )
+            batch_size = None
         cfg = self.bundle.cfg
         if self.enable_image:
             imgs = np.zeros(

@@ -52,10 +52,16 @@ class DeviceStagingReader:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
         error: list[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self.reader:
+                    if stop.is_set():
+                        # consumer aborted: stop decoding/staging the rest
+                        # of the dataset — teardown must be O(depth), not
+                        # O(remaining corpus)
+                        return
                     q.put(self._stage(batch))
             except BaseException as e:  # propagate to consumer
                 error.append(e)
@@ -75,6 +81,7 @@ class DeviceStagingReader:
         finally:
             # never leave a stray device_put running past the iteration —
             # concurrent transfers from dead readers can race later programs
+            stop.set()
             while t.is_alive():
                 try:
                     q.get_nowait()

@@ -35,8 +35,14 @@ def convert(
     for k, v in sd.items():
         try:
             arrays[k] = v.detach().cpu().numpy()
+        except TypeError:  # torch bf16 has no numpy dtype
+            arrays[k] = v.detach().cpu().float().numpy()
         except AttributeError:
             arrays[k] = np.asarray(v)
+    if not output.endswith(".npz"):
+        # np.savez appends .npz itself; normalize so the validation step
+        # and returned path point at the file actually written
+        output += ".npz"
     np.savez(output, **arrays)
     print(f"wrote {len(arrays)} arrays to {output}")
     if clip_model:

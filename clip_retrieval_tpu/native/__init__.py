@@ -27,6 +27,22 @@ def _cache_dir() -> str:
     return d
 
 
+def _cpu_tag() -> bytes:
+    """Host ISA discriminator: -march=native output is CPU-specific, and
+    the cache dir may live on an NFS-shared home across heterogeneous
+    cluster nodes (an AVX-512 build SIGILLs on an AVX2 node)."""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    return hashlib.sha256(line).digest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine().encode()
+
+
 def _build(src_path: str, extra_flags: list[str]) -> Optional[ctypes.CDLL]:
     with open(src_path, "rb") as f:
         src = f.read()
@@ -35,21 +51,27 @@ def _build(src_path: str, extra_flags: list[str]) -> Optional[ctypes.CDLL]:
         "-march=native", "-fopenmp", src_path, *extra_flags,
     ]
     tag = hashlib.sha256(
-        src + b"\0".join(f.encode() for f in cmd_head)
+        src + b"\0".join(f.encode() for f in cmd_head) + _cpu_tag()
     ).hexdigest()[:16]
     so_path = os.path.join(
         _cache_dir(), f"{os.path.basename(src_path)}.{tag}.so"
     )
     if not os.path.exists(so_path):
-        cmd = [*cmd_head, "-o", so_path + ".tmp"]
+        # per-process tmp name: concurrent ranks on a fresh node must not
+        # write the same file while another's os.replace publishes it
+        tmp = f"{so_path}.{os.getpid()}.tmp"
+        cmd = [*cmd_head, "-o", tmp]
         try:
             subprocess.run(
                 cmd, check=True, capture_output=True, timeout=120
             )
-            os.replace(so_path + ".tmp", so_path)
+            os.replace(tmp, so_path)
         except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
             print(f"native build failed ({e}); using numpy fallback")
             return None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     try:
         return ctypes.CDLL(so_path)
     except OSError as e:
