@@ -123,6 +123,7 @@ class IVFInt8Index:
         self.nprobe = nprobe  # = probe_lists U (batch-shared)
         self.exact_topk = exact_topk
         self._device = None
+        self._id_to_pos = None
 
     @property
     def nlist(self) -> int:
@@ -219,8 +220,19 @@ class IVFInt8Index:
         self._ensure_device()
         dv = self._device
         u = min(self.nprobe, self.nlist)
+        q = np.asarray(queries, np.float32)
+        # pad the batch dim to a power-of-two bucket: every distinct B is
+        # its own XLA program, and serving micro-batches arrive at 1..32
+        # arbitrary sizes — padding with a REPEAT of the first query keeps
+        # the probed-list union identical (repeats add no new lists)
+        b = q.shape[0]
+        bucket = 1
+        while bucket < b:
+            bucket *= 2
+        if bucket > b:
+            q = np.concatenate([q, np.repeat(q[:1], bucket - b, axis=0)])
         vals, ids = _search_device(
-            jnp.asarray(np.asarray(queries, np.float32)),
+            jnp.asarray(q),
             dv["coarse"],
             dv["rows"],
             dv["scales"],
@@ -229,8 +241,8 @@ class IVFInt8Index:
             u,
             self.exact_topk,
         )
-        vals = np.asarray(vals)
-        ids = self._positions_to_ids(np.asarray(ids))
+        vals = np.asarray(vals)[:b]
+        ids = self._positions_to_ids(np.asarray(ids)[:b])
         k_eff = vals.shape[1]
         if k_eff < k:
             vals = np.pad(
@@ -239,11 +251,29 @@ class IVFInt8Index:
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return vals, ids
 
+    def _id_positions(self, ids: np.ndarray) -> np.ndarray:
+        """id → CSR position; cached sort (the full argsort over all ids is
+        seconds of host work at the 100M tier — never per query), loud
+        KeyError on unknown ids (silent nearest-row vectors would poison
+        dedup/safety filtering downstream)."""
+        if self._id_to_pos is None:
+            all_ids = np.asarray(self.list_ids)
+            order = np.argsort(all_ids, kind="stable")
+            self._id_to_pos = (all_ids[order], order)
+        sorted_ids, order = self._id_to_pos
+        if order.size == 0:
+            raise KeyError("reconstruct on an empty index")
+        pos = np.clip(np.searchsorted(sorted_ids, ids), 0, len(order) - 1)
+        missing = sorted_ids[pos] != ids
+        if missing.any():
+            raise KeyError(
+                f"ids not in index: {np.asarray(ids)[missing][:8].tolist()}"
+            )
+        return order[pos]
+
     def reconstruct_batch(self, ids: np.ndarray) -> np.ndarray:
         ids = np.asarray(ids, np.int64)
-        all_ids = np.asarray(self.list_ids)
-        order = np.argsort(all_ids, kind="stable")
-        pos = order[np.searchsorted(all_ids[order], ids)]
+        pos = self._id_positions(ids)
         return (
             np.asarray(self.q_vectors[pos], np.float32)
             * np.asarray(self.scales[pos])[:, None]
@@ -252,7 +282,9 @@ class IVFInt8Index:
     def search_and_reconstruct(self, queries: np.ndarray, k: int):
         vals, ids = self.search(queries, k)
         flat = ids.reshape(-1)
-        safe = np.where(flat >= 0, flat, 0)
+        # fill invalid (-1) slots with a real id so _id_positions can't raise
+        fill = int(np.asarray(self.list_ids[:1])[0]) if self.ntotal else 0
+        safe = np.where(flat >= 0, flat, fill)
         recon = self.reconstruct_batch(safe).reshape(*ids.shape, self.d)
         recon[ids < 0] = 0
         return vals, ids, recon

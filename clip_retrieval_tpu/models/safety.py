@@ -182,10 +182,16 @@ def load_safety_model(clip_model: str) -> Optional[JaxMLP]:
     npz); the reference's torch H14 checkpoint.  With CRT_ALLOW_DOWNLOAD=1
     the published zips are fetched like the reference does."""
     npz_path = os.path.join(cache_folder(clip_model), "nsfw_mlp.npz")
-    candidates = [
-        npz_path,
-        os.path.expanduser("~/.cache/clip_retrieval/h14_nsfw_model/model.pt"),
-    ]
+    candidates = [npz_path]
+    if clip_model == "open_clip:ViT-H-14":
+        # the torch H14 checkpoint expects 1024-d embeddings — loading it
+        # for another model's space would shape-error every safety query
+        # (reference clip_back.py:725-766 dispatches strictly by model)
+        candidates.append(
+            os.path.expanduser(
+                "~/.cache/clip_retrieval/h14_nsfw_model/model.pt"
+            )
+        )
     for path in candidates:
         if not os.path.exists(path):
             continue

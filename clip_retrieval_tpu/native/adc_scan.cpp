@@ -75,6 +75,7 @@ void adc_search_batch(const uint8_t* codes, const int64_t* ids,
                       int32_t n_probe, const float* luts, int32_t m,
                       const float* coarse, int32_t batch, int32_t k,
                       float* out_vals, int64_t* out_ids) {
+  if (k <= 0) return;  // empty-heap top() below would be UB
 #pragma omp parallel
   {
     std::vector<float> scratch;  // per-thread block-score buffer

@@ -43,6 +43,11 @@ struct Img {
 // decoders
 // ---------------------------------------------------------------------------
 
+// PIL's MAX_IMAGE_PIXELS default: reject decompression bombs the same way
+// the reference's PIL path did (DecompressionBombError -> sample skipped);
+// without a cap a 50000x50000 crawl image allocates GBs per worker thread.
+constexpr uint64_t kMaxPixels = 89478485;
+
 struct JpegErr {
   jpeg_error_mgr mgr;
   jmp_buf jmp;
@@ -78,6 +83,11 @@ bool decode_jpeg(const uint8_t* data, size_t len, int target, bool fast,
     // PIL converts CMYK with its own formula; keep parity via fallback.
     jpeg_destroy_decompress(&cinfo);
     return false;
+  }
+  if (static_cast<uint64_t>(cinfo.image_width) * cinfo.image_height >
+      kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;  // PIL fallback raises DecompressionBombError -> skip
   }
   cinfo.out_color_space = JCS_RGB;
   if (fast && target > 0) {
@@ -119,6 +129,10 @@ bool decode_png(const uint8_t* data, size_t len, Img& out) {
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&image, data, len)) return false;
+  if (static_cast<uint64_t>(image.width) * image.height > kMaxPixels) {
+    png_image_free(&image);
+    return false;  // decompression-bomb cap (see kMaxPixels)
+  }
   // Read RGBA then drop alpha: PIL's convert("RGB") drops the channel
   // without compositing, and this also normalizes palette/gray/16-bit.
   image.format = PNG_FORMAT_RGBA;
@@ -145,6 +159,7 @@ bool decode_png(const uint8_t* data, size_t len, Img& out) {
 bool decode_webp(const uint8_t* data, size_t len, Img& out) {
   int w = 0, h = 0;
   if (!WebPGetInfo(data, len, &w, &h)) return false;
+  if (static_cast<uint64_t>(w) * h > kMaxPixels) return false;
   uint8_t* rgba = WebPDecodeRGBA(data, len, &w, &h);
   if (!rgba) return false;
   out.w = w;
@@ -338,11 +353,18 @@ extern "C" {
 
 int32_t crt_decode_resize_crop(const uint8_t* data, int64_t len,
                                int32_t target, int32_t fast, uint8_t* out) {
-  Img img;
-  int32_t rc = 0;
-  if (!decode_any(data, len, target, fast != 0, img, rc)) return rc;
-  resize_crop(img, target, out);
-  return 0;
+  // exception barrier: nothing may escape the extern "C"/ctypes boundary
+  // (a bad_alloc unwinding through an OpenMP region would terminate the
+  // whole Python process instead of skipping one corrupt sample)
+  try {
+    Img img;
+    int32_t rc = 0;
+    if (!decode_any(data, len, target, fast != 0, img, rc)) return rc;
+    resize_crop(img, target, out);
+    return 0;
+  } catch (...) {
+    return 3;  // decode failure -> PIL fallback / sample skip
+  }
 }
 
 // blob-packed batch: item i is blob[offsets[i]:offsets[i+1]].  out is

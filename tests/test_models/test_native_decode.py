@@ -122,3 +122,25 @@ def test_batch_matches_single():
     for i, data in enumerate(items):
         single = pp.decode_resize_center_crop(data, SIZE)
         assert np.array_equal(arr[i], single)
+
+
+def test_decompression_bomb_skipped_not_fatal():
+    """A PNG header declaring 50000x50000 must be skipped per-item (PIL
+    parity: DecompressionBombError -> skip), never allocate gigabytes or
+    kill the process."""
+    import struct
+    import zlib
+
+    from clip_retrieval_tpu.models.preprocess import decode_batch
+
+    w = h = 50000
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+    arr, kept = decode_batch([bomb], 32)
+    assert kept == [] and arr.shape[0] == 0
