@@ -126,3 +126,43 @@ def test_warm_rounds_to_dispatch_buckets():
     # 33..48 burst pads to 64 which IS warm
     out = enc.text("x")
     assert out.shape[0] == 1
+
+
+def test_batch_fn_length_mismatch_raises():
+    """A batch fn returning the wrong count must error loudly, not resolve
+    surplus waiters to None."""
+    import pytest
+
+    mb = MicroBatcher(lambda ps: ps[:-1] if len(ps) > 1 else ps,
+                      max_batch=8, max_wait_ms=30, name="short")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(6) as ex:
+        futures = [ex.submit(mb.submit, i) for i in range(6)]
+        outcomes = []
+        for f in futures:
+            try:
+                outcomes.append(("ok", f.result()))
+            except RuntimeError as e:
+                outcomes.append(("err", str(e)))
+    # single-item batches pass through; any multi-item batch errors loudly
+    assert all(o == ("ok", i) or "results for" in o[1]
+               for i, o in enumerate(outcomes))
+    assert not any(o == ("ok", None) for o in outcomes)
+
+
+def test_concurrent_first_requests_build_one_encoder_set():
+    """The check-then-insert on KnnService._encoders is locked: concurrent
+    first requests must share ONE _Encoders (a duplicate would leak a
+    device-resident params copy)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from types import SimpleNamespace
+
+    from clip_retrieval_tpu.back.knn import KnnService
+    from clip_retrieval_tpu.models import zoo
+
+    bundle = zoo.load_model("test-tiny")
+    svc = KnnService({"a": SimpleNamespace(bundle=bundle)})
+    with ThreadPoolExecutor(12) as ex:
+        encs = list(ex.map(lambda _: svc._enc("a"), range(12)))
+    assert all(e is encs[0] for e in encs)
