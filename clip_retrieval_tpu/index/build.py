@@ -288,7 +288,9 @@ def calibrate_nprobe(
     records it in the infos json).  Mutates `index.nprobe` to the chosen
     value (persisted by `index.save`, honored by serving) and returns
     {"nprobe", "target_recall", "recall_curve"} or None for flat indices."""
-    if not hasattr(index, "nprobe"):
+    if getattr(index, "nprobe", None) is None:
+        # exact tiers carry nprobe=None purely for API parity — nothing to
+        # calibrate (and "calibrating" one would record bogus infos)
         return None
     nlist = getattr(index, "nlist", max_nprobe)
     if queries is None:
@@ -383,7 +385,9 @@ def quantize(
         cal = calibrate_nprobe(index, shards, queries=queries, gt=gt)
         if cal:
             infos["nprobe_calibration"] = cal
-    elif nprobe is None and hasattr(index, "nprobe"):
+    elif nprobe is None and getattr(index, "nprobe", None) is not None:
+        # actual IVF tiers only — exact indices carry nprobe=None purely
+        # for API parity and have nothing to calibrate
         print(
             "WARNING: nprobe calibration skipped because "
             "compute_recall=False — the index keeps the default "
