@@ -56,7 +56,7 @@ def build_corpus(root: str, n: int, d: int = 512):
         json.dump({"bench": os.path.join(root, "index")}, f)
 
 
-def wait_port(port, timeout=600):
+def wait_port(port, timeout=1500):  # boot warmup compiles through the relay can take ~10 min cold
     t0 = time.time()
     while time.time() - t0 < timeout:
         try:
