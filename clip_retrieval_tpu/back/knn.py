@@ -197,6 +197,8 @@ class KnnService:
         self._encoders: dict[str, _Encoders] = {}
         self._search_batchers: dict[tuple, Any] = {}
         self._lock = threading.Lock()
+        self._enc_build_locks: dict[str, threading.Lock] = {}
+        self._nprobe_lock = threading.Lock()
 
     # bound on distinct (index, k) micro-batchers: k is client-controlled
     # (num_result_ids), and each batcher is a permanent daemon thread — an
@@ -234,15 +236,25 @@ class KnnService:
         return batcher.submit(query)
 
     def _enc(self, indice_name: str) -> _Encoders:
-        # lock the check-then-insert: two concurrent first requests would
+        # locked check-then-insert: two concurrent first requests would
         # otherwise both build _Encoders, leaking a device-resident copy of
-        # the model params in the loser's batcher threads
+        # the model params in the loser's batcher threads.  The build
+        # (device_put of the full model, seconds through a relay) happens
+        # under a PER-INDEX lock so a cold encoder can't stall searches on
+        # other, healthy indices that share the global dict lock.
+        enc = self._encoders.get(indice_name)
+        if enc is not None:
+            return enc
         with self._lock:
-            if indice_name not in self._encoders:
-                self._encoders[indice_name] = _Encoders(
-                    self.clip_resources[indice_name].bundle
-                )
-            return self._encoders[indice_name]
+            build_lock = self._enc_build_locks.setdefault(
+                indice_name, threading.Lock()
+            )
+        with build_lock:
+            enc = self._encoders.get(indice_name)
+            if enc is None:
+                enc = _Encoders(self.clip_resources[indice_name].bundle)
+                self._encoders[indice_name] = enc
+        return enc
 
     # -- query embedding ---------------------------------------------------
 
@@ -415,16 +427,22 @@ class KnnService:
                 and previous_nprobe is not None
             )
             if poke_nprobe:
-                # dynamic-nprobe requests mutate index state; run unbatched
-                # and always restore — an exception mid-search would leave
-                # every later query scanning the inflated nprobe
-                try:
-                    index.nprobe = math.ceil(num_result_ids / 3000)
-                    distances, indices, embeddings = (
-                        index.search_and_reconstruct(query, num_result_ids)
-                    )
-                finally:
-                    index.nprobe = previous_nprobe
+                # dynamic-nprobe requests mutate index state; serialize the
+                # whole poke+search+restore — two concurrent pokes would
+                # read each other's transient value as "previous" and leave
+                # the inflated nprobe permanently; always restore so an
+                # exception mid-search can't leak it either
+                with self._nprobe_lock:
+                    previous_nprobe = index.nprobe  # re-read under the lock
+                    try:
+                        index.nprobe = math.ceil(num_result_ids / 3000)
+                        distances, indices, embeddings = (
+                            index.search_and_reconstruct(
+                                query, num_result_ids
+                            )
+                        )
+                    finally:
+                        index.nprobe = previous_nprobe
             else:
                 distances, indices, embeddings = self._search_batched(
                     index, np.asarray(query, np.float32), num_result_ids

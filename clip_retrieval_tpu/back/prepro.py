@@ -34,11 +34,13 @@ def parquet_to_arrow(
     sink = None
     file_idx = 0
     rows_in_file = 0
+    cur_path = None  # path of the currently-open (footer-less) file
 
     def open_writer(schema):
-        nonlocal writer, sink, file_idx, rows_in_file
-        path = str(Path(output_arrow_folder) / f"{file_idx}.arrow")
-        sink = pa.OSFile(path, "wb")
+        nonlocal writer, sink, file_idx, rows_in_file, cur_path
+        writer = None  # if new_file below raises, nothing is half-open
+        cur_path = str(Path(output_arrow_folder) / f"{file_idx}.arrow")
+        sink = pa.OSFile(cur_path, "wb")
         writer = pa.ipc.new_file(sink, schema)
         file_idx += 1
         rows_in_file = 0
@@ -72,15 +74,18 @@ def parquet_to_arrow(
             sink.close()
     except BaseException:
         # never leave a footer-less .arrow behind: a truncated IPC file
-        # cannot be mmap'd at serve time, and a rerun would pick it up
-        if writer is not None:
-            try:
+        # cannot be mmap'd at serve time, and a rerun would pick it up.
+        # cur_path tracks the open sink directly — deriving it from
+        # file_idx would delete the previous COMPLETE file when the
+        # exception lands inside open_writer during rotation
+        try:
+            if writer is not None:
                 writer.close()
+            if sink is not None:
                 sink.close()
-            except Exception:
-                pass
-            partial = Path(output_arrow_folder) / f"{file_idx - 1}.arrow"
-            if partial.exists():
-                partial.unlink()
+        except Exception:
+            pass
+        if cur_path is not None and Path(cur_path).exists():
+            Path(cur_path).unlink()
         raise
     LOGGER.info("wrote %d arrow file(s)", file_idx)

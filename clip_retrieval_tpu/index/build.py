@@ -85,18 +85,22 @@ def scratch_memmap(shape, dtype, scratch_dirs=()) -> np.ndarray:
 
     last: OSError | None = None
     for d in [*scratch_dirs, None]:
+        tmp_name = None
         try:
             tmp = tempfile.NamedTemporaryFile(
                 suffix=".scratch", dir=d, delete=False
             )
             tmp.close()
+            tmp_name = tmp.name
             arr = np.lib.format.open_memmap(
-                tmp.name, mode="w+", dtype=dtype, shape=shape
+                tmp_name, mode="w+", dtype=dtype, shape=shape
             )
-            os.unlink(tmp.name)
+            os.unlink(tmp_name)
             return arr
         except OSError as e:  # unwritable/full candidate → next
             last = e
+            if tmp_name is not None and os.path.exists(tmp_name):
+                os.unlink(tmp_name)  # don't leave a stray .scratch behind
     raise last  # pragma: no cover — system tmp unwritable
 
 
@@ -124,10 +128,14 @@ def build_index_from_shards(
             index.add(block)
         return index
 
+    scratch = [scratch_dir] if scratch_dir else []
+    scratch.append(os.path.dirname(shards.paths[0]))
+
     if params.kind == "ivf_int8":
         from .ivf_int8 import IVFInt8Index
 
-        x = np.empty((n, d), np.float32)
+        # disk-backed: n·d·4 bytes is ~200 GB at the 100M×512 tier
+        x = scratch_memmap((n, d), np.float32, scratch)
         for start, block in shards.iter_chunks():
             x[start : start + block.shape[0]] = block
         return IVFInt8Index.from_vectors(
@@ -138,7 +146,7 @@ def build_index_from_shards(
         from ..ops.int8mm import quantize_rows
         from .sharded_flat import ShardedFlatIndex
 
-        q = np.empty((n, d), np.int8)
+        q = scratch_memmap((n, d), np.int8, scratch)
         s = np.empty((n,), np.float32)
         for start, block in shards.iter_chunks():
             qb, sb = quantize_rows(block)

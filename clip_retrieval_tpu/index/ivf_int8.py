@@ -281,9 +281,11 @@ class IVFInt8Index:
 
     def search_and_reconstruct(self, queries: np.ndarray, k: int):
         vals, ids = self.search(queries, k)
+        if self.ntotal == 0:  # all-(-1) ids: zeros, like FlatIndex
+            return vals, ids, np.zeros((*ids.shape, self.d), np.float32)
         flat = ids.reshape(-1)
         # fill invalid (-1) slots with a real id so _id_positions can't raise
-        fill = int(np.asarray(self.list_ids[:1])[0]) if self.ntotal else 0
+        fill = int(np.asarray(self.list_ids[:1])[0])
         safe = np.where(flat >= 0, flat, fill)
         recon = self.reconstruct_batch(safe).reshape(*ids.shape, self.d)
         recon[ids < 0] = 0

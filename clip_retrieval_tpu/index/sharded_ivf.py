@@ -189,8 +189,19 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 np.full((b, k), -1, np.int64),
             )
         self._ensure_device()
+        q = np.asarray(queries, np.float32)
+        # pow2 batch bucketing, same as the single-chip tier: serving
+        # micro-batches arrive at arbitrary sizes and each distinct B is
+        # its own XLA program; padding repeats the first query so the
+        # per-shard probed unions are unchanged
+        b = q.shape[0]
+        bucket = 1
+        while bucket < b:
+            bucket *= 2
+        if bucket > b:
+            q = np.concatenate([q, np.repeat(q[:1], bucket - b, axis=0)])
         vals, ids = self._search_fn(
-            jnp.asarray(np.asarray(queries, np.float32)),
+            jnp.asarray(q),
             self._device["coarse"],
             self._device["rows"],
             self._device["scales"],
@@ -200,8 +211,8 @@ class ShardedIVFInt8Index(IVFInt8Index):
             min(self.nprobe, self.nlist),
             self.exact_topk,
         )
-        vals = np.asarray(vals)
-        ids = self._positions_to_ids(np.asarray(ids))
+        vals = np.asarray(vals)[:b]
+        ids = self._positions_to_ids(np.asarray(ids)[:b])
         k_eff = vals.shape[1]
         if k_eff < k:
             vals = np.pad(

@@ -308,11 +308,14 @@ def _open_shard(url: str):
         finally:
             proc.stdout.close()
             rc = proc.wait()
-            # negative rc = killed by signal; closing stdout early (consumer
-            # stopped iterating, or trailing tar padding left in the pipe)
-            # SIGPIPEs the writer — that is normal teardown, not a shard
-            # failure.  Only a command that *exited* nonzero is an error.
-            if rc is not None and rc > 0:
+            # SIGPIPE (-13) is normal teardown: closing stdout early
+            # (consumer stopped iterating, or trailing tar padding left in
+            # the pipe) kills the writer that way.  Every OTHER nonzero
+            # exit — including other signals (OOM-kill -9, drain -15) —
+            # must raise: a command killed mid-stream can leave a
+            # truncated-but-valid-looking tar whose missing samples would
+            # otherwise vanish silently.
+            if rc not in (0, None, -13):
                 raise RuntimeError(f"pipe shard command failed rc={rc}: {url}")
     else:
         import fsspec

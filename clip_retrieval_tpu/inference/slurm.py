@@ -120,11 +120,16 @@ class SlurmDistributor:
                     # neither should crash the wait loop and orphan the job
                     squeue_failures += 1
                     if squeue_failures >= 30:
-                        print(
+                        # ~5 min of failures could be a slurmctld outage
+                        # with the job STILL RUNNING — declaring success
+                        # would let downstream stages build over partial
+                        # output. Cancel best-effort and raise.
+                        subprocess.run(["scancel", job_id], check=False)
+                        raise RuntimeError(
                             f"squeue failing persistently for job "
-                            f"{job_id} ({e}); assuming it finished"
+                            f"{job_id} ({e}); cancelled and aborting "
+                            "rather than assuming completion"
                         )
-                        return
                     time.sleep(10)
                     continue
                 if self.verbose_wait:

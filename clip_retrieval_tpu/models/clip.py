@@ -87,7 +87,7 @@ def init_clip(cfg: CLIPConfig, key: jax.Array | int = 0) -> Params:
     # tensors share their leading values (e.g. class_emb duplicating the
     # first row of proj)
     (
-        kv, kt, kvb, ktb, kproj_v, kproj_t, ktok,
+        _, kt, kvb, ktb, kproj_v, kproj_t, ktok,
         kcls, kpatch, kblocks_v,
     ) = jax.random.split(key, 10)
     w = cfg.vision_width
