@@ -198,7 +198,7 @@ class KnnService:
         self._search_batchers: dict[tuple, Any] = {}
         self._lock = threading.Lock()
         self._enc_build_locks: dict[str, threading.Lock] = {}
-        self._nprobe_lock = threading.Lock()
+        self._nprobe_locks: dict[int, threading.Lock] = {}  # per index
 
     # bound on distinct (index, k) micro-batchers: k is client-controlled
     # (num_result_ids), and each batcher is a permanent daemon thread — an
@@ -428,11 +428,19 @@ class KnnService:
             )
             if poke_nprobe:
                 # dynamic-nprobe requests mutate index state; serialize the
-                # whole poke+search+restore — two concurrent pokes would
-                # read each other's transient value as "previous" and leave
-                # the inflated nprobe permanently; always restore so an
-                # exception mid-search can't leak it either
-                with self._nprobe_lock:
+                # whole poke+search+restore PER INDEX — two concurrent
+                # pokes would read each other's transient value as
+                # "previous" and leave the inflated nprobe permanently,
+                # while a global lock would head-of-line-block unrelated
+                # indices; always restore so an exception mid-search can't
+                # leak it either.  (Concurrent non-poke searches can still
+                # observe the transient value — same semantics as the
+                # reference's faiss ParameterSpace poke.)
+                with self._lock:
+                    nlock = self._nprobe_locks.setdefault(
+                        id(index), threading.Lock()
+                    )
+                with nlock:
                     previous_nprobe = index.nprobe  # re-read under the lock
                     try:
                         index.nprobe = math.ceil(num_result_ids / 3000)

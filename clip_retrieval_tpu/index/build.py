@@ -99,8 +99,12 @@ def scratch_memmap(shape, dtype, scratch_dirs=()) -> np.ndarray:
             return arr
         except OSError as e:  # unwritable/full candidate → next
             last = e
-            if tmp_name is not None and os.path.exists(tmp_name):
-                os.unlink(tmp_name)  # don't leave a stray .scratch behind
+            try:  # best-effort: a failing unlink (EROFS remount, stale
+                # NFS) must not abort the fallback chain itself
+                if tmp_name is not None and os.path.exists(tmp_name):
+                    os.unlink(tmp_name)
+            except OSError:
+                pass
     raise last  # pragma: no cover — system tmp unwritable
 
 
@@ -213,13 +217,11 @@ def build_index_from_shards(
 
     refine_vectors = None
     if refine:  # exact re-ranking store: original fp16 vectors in id order
-        # disk-backed, not RAM (see scratch_memmap); prefer the index output
-        # dir (writable by definition), then the data volume holding the
-        # shards, then system tmp — NOT tmp first, which is often a small
-        # root partition or RAM-backed tmpfs at exactly this scale
-        candidates = [scratch_dir] if scratch_dir else []
-        candidates.append(os.path.dirname(shards.paths[0]))
-        refine_vectors = scratch_memmap((n, d), np.float16, candidates)
+        # disk-backed, not RAM (see scratch_memmap); `scratch` prefers the
+        # index output dir (writable by definition), then the data volume
+        # holding the shards, then system tmp — NOT tmp first, which is
+        # often a small root partition or RAM-backed tmpfs at this scale
+        refine_vectors = scratch_memmap((n, d), np.float16, scratch)
         for start, block in shards.iter_chunks():
             refine_vectors[start : start + block.shape[0]] = block.astype(
                 np.float16

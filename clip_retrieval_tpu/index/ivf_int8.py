@@ -157,7 +157,26 @@ class IVFInt8Index:
         counts = np.bincount(assign, minlength=nlist)
         offsets = np.zeros((nlist + 1,), np.int64)
         np.cumsum(counts, out=offsets[1:])
-        q, s = quantize_rows(x[order])
+        # group+quantize CHUNKWISE: x[order] fancy-indexing would
+        # materialize the full fp32 corpus in RAM even when x is a
+        # disk-backed memmap (~200 GB at the 100M×512 tier); the grouped
+        # int8 codes inherit disk backing in that case
+        if isinstance(x, np.memmap):
+            from .build import scratch_memmap
+
+            scratch = (
+                [os.path.dirname(x.filename)] if x.filename else []
+            )
+            q = scratch_memmap((n, d), np.int8, scratch)
+        else:
+            q = np.empty((n, d), np.int8)
+        s = np.empty((n,), np.float32)
+        chunk = 1 << 17
+        for i in range(0, n, chunk):
+            sel = order[i : i + chunk]
+            qb, sb = quantize_rows(np.asarray(x[sel], np.float32))
+            q[i : i + len(sel)] = qb
+            s[i : i + len(sel)] = sb
         return cls(
             d,
             np.asarray(coarse),
@@ -208,6 +227,22 @@ class IVFInt8Index:
         ids = np.asarray(self.list_ids)[np.clip(pos, 0, None)]
         return np.where(pos >= 0, ids, -1)
 
+    @staticmethod
+    def _pad_queries_pow2(queries) -> tuple[np.ndarray, int]:
+        """Pad the batch dim to a power-of-two bucket by REPEATING the
+        first query: every distinct B is its own XLA program, and serving
+        micro-batches arrive at arbitrary sizes 1..32 — repeats keep the
+        probed-list union identical (they add no new lists).  Returns
+        (padded queries, original B)."""
+        q = np.asarray(queries, np.float32)
+        b = q.shape[0]
+        bucket = 1
+        while bucket < b:
+            bucket *= 2
+        if bucket > b:
+            q = np.concatenate([q, np.repeat(q[:1], bucket - b, axis=0)])
+        return q, b
+
     # -- search ------------------------------------------------------------
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -220,17 +255,7 @@ class IVFInt8Index:
         self._ensure_device()
         dv = self._device
         u = min(self.nprobe, self.nlist)
-        q = np.asarray(queries, np.float32)
-        # pad the batch dim to a power-of-two bucket: every distinct B is
-        # its own XLA program, and serving micro-batches arrive at 1..32
-        # arbitrary sizes — padding with a REPEAT of the first query keeps
-        # the probed-list union identical (repeats add no new lists)
-        b = q.shape[0]
-        bucket = 1
-        while bucket < b:
-            bucket *= 2
-        if bucket > b:
-            q = np.concatenate([q, np.repeat(q[:1], bucket - b, axis=0)])
+        q, b = self._pad_queries_pow2(queries)
         vals, ids = _search_device(
             jnp.asarray(q),
             dv["coarse"],

@@ -189,17 +189,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 np.full((b, k), -1, np.int64),
             )
         self._ensure_device()
-        q = np.asarray(queries, np.float32)
-        # pow2 batch bucketing, same as the single-chip tier: serving
-        # micro-batches arrive at arbitrary sizes and each distinct B is
-        # its own XLA program; padding repeats the first query so the
-        # per-shard probed unions are unchanged
-        b = q.shape[0]
-        bucket = 1
-        while bucket < b:
-            bucket *= 2
-        if bucket > b:
-            q = np.concatenate([q, np.repeat(q[:1], bucket - b, axis=0)])
+        q, b = self._pad_queries_pow2(queries)
         vals, ids = self._search_fn(
             jnp.asarray(q),
             self._device["coarse"],

@@ -303,19 +303,26 @@ def _open_shard(url: str):
         proc = subprocess.Popen(
             url[len("pipe:"):], shell=True, stdout=subprocess.PIPE
         )
+        consumer_closed = False
         try:
             yield proc.stdout
+        except GeneratorExit:
+            # the consumer stopped iterating (sample cap, error upstream):
+            # whatever exit the writer takes after we close its pipe —
+            # SIGPIPE, or BrokenPipeError exit 1 from python-based CLIs
+            # like `aws s3 cp` — is OUR doing, not a shard failure
+            consumer_closed = True
+            raise
         finally:
             proc.stdout.close()
             rc = proc.wait()
-            # SIGPIPE (-13) is normal teardown: closing stdout early
-            # (consumer stopped iterating, or trailing tar padding left in
-            # the pipe) kills the writer that way.  Every OTHER nonzero
-            # exit — including other signals (OOM-kill -9, drain -15) —
-            # must raise: a command killed mid-stream can leave a
-            # truncated-but-valid-looking tar whose missing samples would
-            # otherwise vanish silently.
-            if rc not in (0, None, -13):
+            # -13 (raw SIGPIPE) and 141 (shell 128+13) are pipe-closed
+            # teardown, e.g. trailing tar padding left unread.  Every other
+            # nonzero exit on a fully-consumed stream raises: a command
+            # killed mid-stream (OOM -9, drain -15, auth failure 1) can
+            # leave a truncated-but-valid-looking tar whose missing
+            # samples would otherwise vanish silently.
+            if not consumer_closed and rc not in (0, None, -13, 141):
                 raise RuntimeError(f"pipe shard command failed rc={rc}: {url}")
     else:
         import fsspec

@@ -109,26 +109,34 @@ class SlurmDistributor:
         try:
             while True:
                 try:
-                    q = subprocess.check_output(
+                    r = subprocess.run(
                         ["squeue", "-j", job_id, "-h"],
+                        capture_output=True,
                         universal_newlines=True,
-                    ).strip()
+                    )
+                    if r.returncode != 0:
+                        if "invalid job id" in r.stderr.lower():
+                            # record purged past MinJobAge → job finished
+                            print(f"slurm job {job_id} finished (purged)")
+                            return
+                        raise subprocess.CalledProcessError(
+                            r.returncode, r.args, r.stdout, r.stderr
+                        )
+                    q = r.stdout.strip()
                     squeue_failures = 0
                 except subprocess.CalledProcessError as e:
-                    # transient slurmctld outages exit nonzero, and a
-                    # finished job past MinJobAge yields 'Invalid job id' —
-                    # neither should crash the wait loop and orphan the job
+                    # transient slurmctld outage: retry with backoff
                     squeue_failures += 1
                     if squeue_failures >= 30:
-                        # ~5 min of failures could be a slurmctld outage
-                        # with the job STILL RUNNING — declaring success
-                        # would let downstream stages build over partial
-                        # output. Cancel best-effort and raise.
+                        # ~5 min of failures could mean the job is STILL
+                        # RUNNING — declaring success would let downstream
+                        # stages build over partial output. Cancel
+                        # best-effort and raise.
                         subprocess.run(["scancel", job_id], check=False)
                         raise RuntimeError(
                             f"squeue failing persistently for job "
-                            f"{job_id} ({e}); cancelled and aborting "
-                            "rather than assuming completion"
+                            f"{job_id} ({e.stderr or e}); cancelled and "
+                            "aborting rather than assuming completion"
                         )
                     time.sleep(10)
                     continue
