@@ -149,7 +149,12 @@ class IVFInt8Index:
     ) -> "IVFInt8Index":
         from ..ops import kmeans as km
 
-        x = np.asarray(x, np.float32)
+        # test disk-backing BEFORE any asarray: np.asarray strips the
+        # np.memmap subclass (and would copy a non-fp32 memmap fully into
+        # RAM); memmap inputs stay as-is and convert per-chunk below
+        is_disk = isinstance(x, np.memmap)
+        if not is_disk:
+            x = np.asarray(x, np.float32)
         n, d = x.shape
         coarse = km.kmeans(x, nlist, niter=kmeans_niter, seed=seed)
         assign = km.assign_chunked(x, coarse)
@@ -161,7 +166,7 @@ class IVFInt8Index:
         # materialize the full fp32 corpus in RAM even when x is a
         # disk-backed memmap (~200 GB at the 100M×512 tier); the grouped
         # int8 codes inherit disk backing in that case
-        if isinstance(x, np.memmap):
+        if is_disk:
             from .build import scratch_memmap
 
             scratch = (

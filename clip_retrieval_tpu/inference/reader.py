@@ -306,11 +306,13 @@ def _open_shard(url: str):
         consumer_closed = False
         try:
             yield proc.stdout
-        except GeneratorExit:
-            # the consumer stopped iterating (sample cap, error upstream):
-            # whatever exit the writer takes after we close its pipe —
-            # SIGPIPE, or BrokenPipeError exit 1 from python-based CLIs
-            # like `aws s3 cp` — is OUR doing, not a shard failure
+        except BaseException:
+            # consumer-side teardown of ANY kind — GeneratorExit (stopped
+            # iterating), a corrupt-tar error mid-stream, KeyboardInterrupt
+            # — closes the writer's pipe early; its exit code is then OUR
+            # doing, and raising over the in-flight exception would mask it
+            # (e.g. converting a KeyboardInterrupt into a catchable
+            # 'shard failed')
             consumer_closed = True
             raise
         finally:

@@ -106,6 +106,7 @@ class SlurmDistributor:
         print(f"submitted slurm job {job_id}")
         start = time.time()
         squeue_failures = 0
+        seen_running = False
         try:
             while True:
                 try:
@@ -115,8 +116,16 @@ class SlurmDistributor:
                         universal_newlines=True,
                     )
                     if r.returncode != 0:
-                        if "invalid job id" in r.stderr.lower():
-                            # record purged past MinJobAge → job finished
+                        if (
+                            "invalid job id" in r.stderr.lower()
+                            and seen_running
+                        ):
+                            # record purged past MinJobAge → job finished.
+                            # Gated on a prior sighting: 'invalid job id'
+                            # on the FIRST poll means a bad job id or a
+                            # lost-state controller restart, where
+                            # declaring success would build over partial
+                            # output — fall through to the failure path.
                             print(f"slurm job {job_id} finished (purged)")
                             return
                         raise subprocess.CalledProcessError(
@@ -145,6 +154,7 @@ class SlurmDistributor:
                 if not q:
                     print(f"slurm job {job_id} finished")
                     return
+                seen_running = True
                 if time.time() - start > self.job_timeout:
                     print(f"slurm job {job_id} timed out; cancelling")
                     subprocess.run(["scancel", job_id], check=False)

@@ -123,3 +123,22 @@ def test_old_to_new_mapping_rejects_non_permutation_ids():
     ix.list_ids = np.asarray(ix.list_ids, np.int64) + 1000
     with pytest.raises(ValueError, match="permutation"):
         get_old_to_new_mapping(ix)
+
+
+def test_from_vectors_memmap_input_stays_disk_backed(tmp_path):
+    """A disk-backed corpus must not be materialized in RAM: the grouped
+    int8 codes inherit memmap backing (np.asarray strips the subclass, so
+    the check must run on the original argument)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(600, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    path = tmp_path / "x.npy"
+    np.save(path, x)
+    xm = np.load(path, mmap_mode="r")
+    assert isinstance(xm, np.memmap)
+    ix = IVFInt8Index.from_vectors(xm, nlist=8, nprobe=8, kmeans_niter=3)
+    assert isinstance(ix.q_vectors, np.memmap)  # disk-backed, unlinked
+    ix_ram = IVFInt8Index.from_vectors(x, nlist=8, nprobe=8, kmeans_niter=3)
+    _, got_m = ix.search(x[:5], 3)
+    _, got_r = ix_ram.search(x[:5], 3)
+    np.testing.assert_array_equal(got_m, got_r)
