@@ -324,8 +324,17 @@ def _open_shard(url: str):
             # killed mid-stream (OOM -9, drain -15, auth failure 1) can
             # leave a truncated-but-valid-looking tar whose missing
             # samples would otherwise vanish silently.
-            if not consumer_closed and rc not in (0, None, -13, 141):
-                raise RuntimeError(f"pipe shard command failed rc={rc}: {url}")
+            if rc not in (0, None, -13, 141):
+                if consumer_closed:
+                    # don't mask the in-flight consumer exception, but do
+                    # surface the writer's exit — a mid-stream command
+                    # failure (expired creds etc.) often FIRST shows up as
+                    # a consumer-side truncated-tar error
+                    print(f"note: pipe shard command exited rc={rc}: {url}")
+                else:
+                    raise RuntimeError(
+                        f"pipe shard command failed rc={rc}: {url}"
+                    )
     else:
         import fsspec
 

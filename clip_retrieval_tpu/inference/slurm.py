@@ -97,12 +97,43 @@ class SlurmDistributor:
 
     # -- submission / polling ---------------------------------------------
 
+    @staticmethod
+    def _final_state(job_id: str) -> str | None:
+        """Best-effort terminal state via sacct ('COMPLETED', 'FAILED',
+        'NODE_FAIL', ...), or None when sacct is unavailable."""
+        try:
+            r = subprocess.run(
+                ["sacct", "-j", job_id, "-n", "-X", "-o", "State"],
+                capture_output=True,
+                universal_newlines=True,
+                timeout=30,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+        if r.returncode != 0 or not r.stdout.strip():
+            return None
+        return r.stdout.strip().split()[0].rstrip("+")
+
+    def _finish(self, job_id: str, context: str):
+        """Job left the queue: verify it actually COMPLETED when sacct can
+        tell us — 'gone from squeue' also covers FAILED/NODE_FAIL/OOM,
+        where a clean return would let downstream stages build over
+        partial output."""
+        state = self._final_state(job_id)
+        if state is not None and state not in ("COMPLETED", "COMPLETING"):
+            raise RuntimeError(
+                f"slurm job {job_id} ended in state {state} ({context})"
+            )
+        print(f"slurm job {job_id} finished ({context}, state={state})")
+
     def __call__(self):
         _, sbatch_path = self._write_inputs()
         out = subprocess.check_output(
             ["sbatch", sbatch_path], universal_newlines=True
         )
         job_id = out.strip().split()[-1]
+        if not job_id.isdigit():
+            raise RuntimeError(f"could not parse sbatch output: {out!r}")
         print(f"submitted slurm job {job_id}")
         start = time.time()
         squeue_failures = 0
@@ -120,13 +151,12 @@ class SlurmDistributor:
                             "invalid job id" in r.stderr.lower()
                             and seen_running
                         ):
-                            # record purged past MinJobAge → job finished.
-                            # Gated on a prior sighting: 'invalid job id'
-                            # on the FIRST poll means a bad job id or a
-                            # lost-state controller restart, where
-                            # declaring success would build over partial
-                            # output — fall through to the failure path.
-                            print(f"slurm job {job_id} finished (purged)")
+                            # record purged past MinJobAge → probably
+                            # finished; _finish verifies via sacct (a
+                            # lost-state controller restart purges PENDING
+                            # jobs too).  Without a prior sighting this is
+                            # a bad job id / lost state — failure path.
+                            self._finish(job_id, "purged from squeue")
                             return
                         raise subprocess.CalledProcessError(
                             r.returncode, r.args, r.stdout, r.stderr
@@ -152,7 +182,7 @@ class SlurmDistributor:
                 if self.verbose_wait:
                     print(f"squeue: {q!r}")
                 if not q:
-                    print(f"slurm job {job_id} finished")
+                    self._finish(job_id, "left the queue")
                     return
                 seen_running = True
                 if time.time() - start > self.job_timeout:

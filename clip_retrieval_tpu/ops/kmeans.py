@@ -148,12 +148,16 @@ def kmeans(
     psum for the segment sums over ICI — the multi-chip index-train path
     (verified numerically identical to single-device in tests).
     """
-    x = np.asarray(x, np.float32)
+    # subsample BEFORE the fp32 conversion: asarray on a non-fp32
+    # disk-backed corpus would materialize the whole thing in RAM (the
+    # fancy-index subsample already copies, so convert just the sample;
+    # same-dtype fp32 inputs pass through asarray as a no-copy view)
     n = x.shape[0]
     rng = np.random.default_rng(seed)
     if n > max_points:
-        x = x[rng.choice(n, size=max_points, replace=False)]
+        x = x[np.sort(rng.choice(n, size=max_points, replace=False))]
         n = max_points
+    x = np.asarray(x, np.float32)
     if n < k:
         reps = -(-k // n)
         x = np.concatenate([x] * reps)[: max(k, n)]
