@@ -303,17 +303,20 @@ def _open_shard(url: str):
         proc = subprocess.Popen(
             url[len("pipe:"):], shell=True, stdout=subprocess.PIPE
         )
-        consumer_closed = False
+        consumer_closed = None
         try:
             yield proc.stdout
+        except GeneratorExit:
+            # deliberate stop (sample cap): writer exit is expected, silent
+            consumer_closed = "stop"
+            raise
         except BaseException:
-            # consumer-side teardown of ANY kind — GeneratorExit (stopped
-            # iterating), a corrupt-tar error mid-stream, KeyboardInterrupt
-            # — closes the writer's pipe early; its exit code is then OUR
-            # doing, and raising over the in-flight exception would mask it
-            # (e.g. converting a KeyboardInterrupt into a catchable
-            # 'shard failed')
-            consumer_closed = True
+            # error-path teardown (corrupt tar, KeyboardInterrupt): the
+            # writer's exit is still OUR doing — raising over the in-flight
+            # exception would mask it — but its code is worth logging,
+            # since a mid-stream command failure often FIRST surfaces as a
+            # consumer-side truncated-tar error
+            consumer_closed = "error"
             raise
         finally:
             proc.stdout.close()
@@ -325,16 +328,13 @@ def _open_shard(url: str):
             # leave a truncated-but-valid-looking tar whose missing
             # samples would otherwise vanish silently.
             if rc not in (0, None, -13, 141):
-                if consumer_closed:
-                    # don't mask the in-flight consumer exception, but do
-                    # surface the writer's exit — a mid-stream command
-                    # failure (expired creds etc.) often FIRST shows up as
-                    # a consumer-side truncated-tar error
+                if consumer_closed == "error":
                     print(f"note: pipe shard command exited rc={rc}: {url}")
-                else:
+                elif consumer_closed is None:
                     raise RuntimeError(
                         f"pipe shard command failed rc={rc}: {url}"
                     )
+                # "stop": deliberate early close — any writer exit is ours
     else:
         import fsspec
 

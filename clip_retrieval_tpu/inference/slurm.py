@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import time
 from typing import Any, Sequence
@@ -114,16 +115,28 @@ class SlurmDistributor:
             return None
         return r.stdout.strip().split()[0].rstrip("+")
 
+    _FAIL_STATES = (
+        "FAILED", "NODE_FAIL", "OUT_OF_MEMORY", "CANCELLED", "TIMEOUT",
+        "PREEMPTED", "BOOT_FAIL", "DEADLINE",
+    )
+
     def _finish(self, job_id: str, context: str):
         """Job left the queue: verify it actually COMPLETED when sacct can
         tell us — 'gone from squeue' also covers FAILED/NODE_FAIL/OOM,
         where a clean return would let downstream stages build over
-        partial output."""
-        state = self._final_state(job_id)
-        if state is not None and state not in ("COMPLETED", "COMPLETING"):
-            raise RuntimeError(
-                f"slurm job {job_id} ended in state {state} ({context})"
-            )
+        partial output.  slurmdbd accounting can LAG squeue, so a
+        non-terminal state (RUNNING/PENDING just after completion) retries
+        briefly instead of deciding pass/fail off one stale poll."""
+        state = None
+        for attempt in range(6):
+            state = self._final_state(job_id)
+            if state is None or state == "COMPLETED":
+                break
+            if any(state.startswith(f) for f in self._FAIL_STATES):
+                raise RuntimeError(
+                    f"slurm job {job_id} ended in state {state} ({context})"
+                )
+            time.sleep(5)  # accounting not yet terminal; re-poll
         print(f"slurm job {job_id} finished ({context}, state={state})")
 
     def __call__(self):
@@ -131,9 +144,14 @@ class SlurmDistributor:
         out = subprocess.check_output(
             ["sbatch", sbatch_path], universal_newlines=True
         )
-        job_id = out.strip().split()[-1]
-        if not job_id.isdigit():
+        # 'Submitted batch job 4242' — federated clusters append
+        # 'on cluster X', so take the explicit pattern, then any digits
+        m = re.search(r"Submitted batch job (\d+)", out)
+        if m is None:
+            m = re.search(r"\b(\d+)\b", out)
+        if m is None:
             raise RuntimeError(f"could not parse sbatch output: {out!r}")
+        job_id = m.group(1)
         print(f"submitted slurm job {job_id}")
         start = time.time()
         squeue_failures = 0

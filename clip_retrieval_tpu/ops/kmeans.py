@@ -152,6 +152,8 @@ def kmeans(
     # disk-backed corpus would materialize the whole thing in RAM (the
     # fancy-index subsample already copies, so convert just the sample;
     # same-dtype fp32 inputs pass through asarray as a no-copy view)
+    if not hasattr(x, "shape"):  # list-of-vectors inputs stay accepted
+        x = np.asarray(x)
     n = x.shape[0]
     rng = np.random.default_rng(seed)
     if n > max_points:

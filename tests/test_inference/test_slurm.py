@@ -67,9 +67,66 @@ def test_submit_and_poll(tmp_path, monkeypatch):
         "squeue",
         f'if [ ! -f {state} ]; then touch {state}; echo "4242 R"; fi\n',
     )
+    # sacct confirms completion (stubbed so a host with REAL slurm can't
+    # leak an unrelated job's state into the test)
+    _fake_bin(bindir, "sacct", 'echo "COMPLETED"\n')
     monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
     dist = _make_distributor(tmp_path)
     dist()  # returns once squeue shows the job gone
+
+
+def test_finish_raises_on_failed_state(tmp_path, monkeypatch):
+    """'gone from squeue' with sacct reporting FAILED must raise, not
+    silently succeed over partial output."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    state = tmp_path / "sq"
+    _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 99"\n')
+    _fake_bin(
+        bindir, "squeue",
+        f'if [ ! -f {state} ]; then touch {state}; echo "99 R"; fi\n',
+    )
+    _fake_bin(bindir, "sacct", 'echo "NODE_FAIL"\n')
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    dist = _make_distributor(tmp_path)
+    with pytest.raises(RuntimeError, match="NODE_FAIL"):
+        dist()
+
+
+def test_finish_retries_lagging_sacct(tmp_path, monkeypatch):
+    """A non-terminal sacct state (accounting lag) re-polls instead of
+    failing the run off one stale read."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    lag = tmp_path / "lag"
+    _fake_bin(
+        bindir, "sacct",
+        f'if [ ! -f {lag} ]; then touch {lag}; echo "RUNNING"; '
+        'else echo "COMPLETED"; fi\n',
+    )
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    dist = _make_distributor(tmp_path)
+    dist._finish("5", "test")  # lag then COMPLETED -> no raise
+
+
+def test_sbatch_federated_output_parses(tmp_path, monkeypatch):
+    """Federated clusters print 'Submitted batch job N on cluster X'."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    state = tmp_path / "sq2"
+    _fake_bin(
+        bindir, "sbatch",
+        'echo "Submitted batch job 4242 on cluster tpu"\n',
+    )
+    _fake_bin(
+        bindir, "squeue",
+        f'if [ ! -f {state} ]; then touch {state}; echo "4242 R"; fi\n',
+    )
+    _fake_bin(bindir, "sacct", 'echo "COMPLETED"\n')
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    dist = _make_distributor(tmp_path)
+    dist()
 
 
 def test_timeout_cancels_job(tmp_path, monkeypatch):
@@ -78,6 +135,7 @@ def test_timeout_cancels_job(tmp_path, monkeypatch):
     cancel_log = tmp_path / "scancel.log"
     _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 7"\n')
     _fake_bin(bindir, "squeue", 'echo "7 R"\n')  # never finishes
+    _fake_bin(bindir, "sacct", 'echo "CANCELLED"\n')
     _fake_bin(bindir, "scancel", f'echo "$@" > {cancel_log}\n')
     monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
     dist = _make_distributor(tmp_path, slurm_job_timeout=0)
