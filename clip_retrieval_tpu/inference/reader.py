@@ -328,13 +328,17 @@ def _open_shard(url: str):
             # leave a truncated-but-valid-looking tar whose missing
             # samples would otherwise vanish silently.
             if rc not in (0, None, -13, 141):
-                if consumer_closed == "error":
+                if consumer_closed is not None:
+                    # consumer-initiated teardown: never mask the in-flight
+                    # exception, but always log the writer's exit — a
+                    # mid-stream command failure (expired creds) often
+                    # FIRST surfaces downstream, and this one line is the
+                    # root-cause breadcrumb
                     print(f"note: pipe shard command exited rc={rc}: {url}")
-                elif consumer_closed is None:
+                else:
                     raise RuntimeError(
                         f"pipe shard command failed rc={rc}: {url}"
                     )
-                # "stop": deliberate early close — any writer exit is ours
     else:
         import fsspec
 

@@ -115,28 +115,30 @@ class SlurmDistributor:
             return None
         return r.stdout.strip().split()[0].rstrip("+")
 
-    _FAIL_STATES = (
-        "FAILED", "NODE_FAIL", "OUT_OF_MEMORY", "CANCELLED", "TIMEOUT",
-        "PREEMPTED", "BOOT_FAIL", "DEADLINE",
-    )
-
     def _finish(self, job_id: str, context: str):
         """Job left the queue: verify it actually COMPLETED when sacct can
         tell us — 'gone from squeue' also covers FAILED/NODE_FAIL/OOM,
         where a clean return would let downstream stages build over
-        partial output.  slurmdbd accounting can LAG squeue, so a
-        non-terminal state (RUNNING/PENDING just after completion) retries
-        briefly instead of deciding pass/fail off one stale poll."""
+        partial output.
+
+        Semantics, settled: COMPLETED → success.  sacct unavailable after
+        retries → success with a caveat (best-effort; the reference never
+        verified at all).  ANY other state after the lag-retry window —
+        known failure states, REVOKED, a stale RUNNING — raises: when
+        accounting contradicts the queue, aborting loudly beats building
+        an index over output that may not exist."""
         state = None
         for attempt in range(6):
             state = self._final_state(job_id)
-            if state is None or state == "COMPLETED":
+            if state in ("COMPLETED", "COMPLETING"):
                 break
-            if any(state.startswith(f) for f in self._FAIL_STATES):
-                raise RuntimeError(
-                    f"slurm job {job_id} ended in state {state} ({context})"
-                )
-            time.sleep(5)  # accounting not yet terminal; re-poll
+            if state is None and attempt >= 2:
+                break  # sacct genuinely unavailable → best-effort success
+            time.sleep(5)  # slurmdbd can lag squeue (or blip); re-poll
+        if state is not None and state not in ("COMPLETED", "COMPLETING"):
+            raise RuntimeError(
+                f"slurm job {job_id} ended in state {state} ({context})"
+            )
         print(f"slurm job {job_id} finished ({context}, state={state})")
 
     def __call__(self):
@@ -144,11 +146,10 @@ class SlurmDistributor:
         out = subprocess.check_output(
             ["sbatch", sbatch_path], universal_newlines=True
         )
-        # 'Submitted batch job 4242' — federated clusters append
-        # 'on cluster X', so take the explicit pattern, then any digits
+        # canonical 'Submitted batch job N' only (federated clusters append
+        # 'on cluster X'); no loose-digits fallback — guessing a wrong id
+        # would poll (and eventually scancel) someone else's job
         m = re.search(r"Submitted batch job (\d+)", out)
-        if m is None:
-            m = re.search(r"\b(\d+)\b", out)
         if m is None:
             raise RuntimeError(f"could not parse sbatch output: {out!r}")
         job_id = m.group(1)

@@ -110,6 +110,32 @@ def test_finish_retries_lagging_sacct(tmp_path, monkeypatch):
     dist._finish("5", "test")  # lag then COMPLETED -> no raise
 
 
+def test_finish_raises_on_persistent_non_terminal(tmp_path, monkeypatch):
+    """Accounting that never reaches COMPLETED (stale RUNNING after a
+    lost-state restart, REVOKED, unknown states) raises at exhaustion —
+    success is only declared on COMPLETED or no-sacct."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    _fake_bin(bindir, "sacct", 'echo "RUNNING"\n')
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    dist = _make_distributor(tmp_path)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="RUNNING"):
+        dist._finish("6", "test")
+
+
+def test_finish_best_effort_without_sacct(tmp_path, monkeypatch):
+    """No sacct on PATH -> best-effort success (reference never verified)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()  # empty: sacct lookup fails
+    monkeypatch.setenv("PATH", str(bindir))
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    dist = _make_distributor(tmp_path)
+    dist._finish("7", "test")  # no raise
+
+
 def test_sbatch_federated_output_parses(tmp_path, monkeypatch):
     """Federated clusters print 'Submitted batch job N on cluster X'."""
     bindir = tmp_path / "bin"
