@@ -140,3 +140,55 @@ def test_parquet_to_hdf5_differing_shard_schemas(tmp_path):
     # url of global row 2 must be u2 (shard 1's first row), not shifted
     assert _s(rows[2]["url"]) == "u2" and _s(rows[3]["url"]) == "u3"
     assert _s(rows[0]["url"]) == ""  # missing-shard fill
+
+
+def test_parquet_to_arrow_failure_leaves_no_truncated_file(tmp_path):
+    """A mid-write failure must remove the footer-less .arrow (it can't be
+    mmap'd and a rerun would pick it up)."""
+    import pandas as pd
+    import pytest
+
+    folder = tmp_path / "meta"
+    folder.mkdir()
+    pd.DataFrame({"a": [1, 2]}).to_parquet(folder / "m0.parquet")
+    # same-file schema drift → writer.write_table raises mid-stream
+    pd.DataFrame({"b": ["x"]}).to_parquet(folder / "m1.parquet")
+    out = tmp_path / "arrow"
+    with pytest.raises(Exception):
+        parquet_to_arrow(str(folder), str(out))
+    assert list(out.glob("*.arrow")) == []
+
+
+def test_parquet_to_arrow_rotation_failure_keeps_complete_files(
+    tmp_path, monkeypatch
+):
+    """A failure while ROTATING to a new file must delete only the new
+    partial file, never the just-completed previous one."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    folder = tmp_path / "meta"
+    folder.mkdir()
+    pd.DataFrame({"a": [1, 2]}).to_parquet(folder / "m0.parquet")
+    pd.DataFrame({"a": [3, 4]}).to_parquet(folder / "m1.parquet")
+    out = tmp_path / "arrow"
+
+    real_new_file = pa.ipc.new_file
+    calls = []
+
+    def failing_new_file(sink, schema, **kw):
+        calls.append(1)
+        if len(calls) == 2:  # the rotation open
+            raise OSError("disk full")
+        return real_new_file(sink, schema, **kw)
+
+    monkeypatch.setattr(pa.ipc, "new_file", failing_new_file)
+    with pytest.raises(OSError):
+        parquet_to_arrow(str(folder), str(out), max_rows_per_file=2)
+    remaining = sorted(p.name for p in out.glob("*.arrow"))
+    assert remaining == ["0.arrow"]  # complete file preserved
+    # and it is a VALID mmap-able IPC file
+    with pa.memory_map(str(out / "0.arrow")) as src:
+        table = pa.ipc.open_file(src).read_all()
+    assert table.num_rows == 2
