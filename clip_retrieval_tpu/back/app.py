@@ -314,9 +314,16 @@ def warm_buckets_from_env() -> tuple:
         if not tok:
             continue
         try:
-            out.append(int(tok))
+            val = int(tok)
         except ValueError:
             print(f"ignoring malformed CRT_WARM_BUCKETS entry {tok!r}")
+            continue
+        if val < 1:
+            # warm() would silently map these to bucket 1 — a different
+            # shape than the operator asked for; treat like malformed
+            print(f"ignoring non-positive CRT_WARM_BUCKETS entry {tok!r}")
+            continue
+        out.append(val)
     if not out:
         # a fully-malformed value must not silently disable warmup — that
         # reintroduces the cold-start stall this env var guards against

@@ -36,8 +36,11 @@ def combine_ivfpq(
     offsets = np.zeros((nlist + 1,), np.int64)
     np.cumsum(sizes, out=offsets[1:])
     total = int(offsets[-1])
-    ids = np.empty((total,), np.int64)
-    codes = np.empty((total, base.m), np.uint8)
+    from .build import scratch_memmap
+
+    scratch = [scratch_dir] if scratch_dir else []
+    ids = scratch_memmap((total,), np.int64, scratch)
+    codes = scratch_memmap((total, base.m), np.uint8, scratch)
     cursor = offsets[:-1].copy()
     for ix in indices:
         offs = ix.list_offsets
@@ -80,13 +83,7 @@ def combine_ivfpq(
             # disk-backed: the merged store is ~total·d·2 bytes (100 GB at
             # the 100M×512 tier) and must not live in RAM (same contract as
             # build.py's refine path)
-            from .build import scratch_memmap
-
-            refine = scratch_memmap(
-                (total, base.d),
-                np.float16,
-                [scratch_dir] if scratch_dir else [],
-            )
+            refine = scratch_memmap((total, base.d), np.float16, scratch)
             for ix, (lo, n) in zip(indices, shard_ranges):
                 refine[lo : lo + n] = np.asarray(ix.refine_vectors)
         else:
@@ -108,9 +105,13 @@ def combine_ivfpq(
     )
 
 
-def combine_ivf_int8(indices):
+def combine_ivf_int8(indices, scratch_dir: str | None = None):
     """Merge IVF-int8 shard indices sharing coarse centroids (same
-    offset-table concatenation as the PQ variant)."""
+    offset-table concatenation as the PQ variant).  The merged corpus
+    (q int8 + ids + scales ≈ 60 GB at the 100M×512 tier this combiner
+    targets) is staged in disk-backed scratch, never RAM — the same
+    contract as combine_ivfpq's refine store."""
+    from .build import scratch_memmap
     from .ivf_int8 import IVFInt8Index
 
     base = indices[0]
@@ -124,9 +125,10 @@ def combine_ivf_int8(indices):
     offsets = np.zeros((nlist + 1,), np.int64)
     np.cumsum(sizes, out=offsets[1:])
     total = int(offsets[-1])
-    ids = np.empty((total,), np.int64)
-    q = np.empty((total, base.d), np.int8)
-    scales = np.empty((total,), np.float32)
+    scratch = [scratch_dir] if scratch_dir else []
+    ids = scratch_memmap((total,), np.int64, scratch)
+    q = scratch_memmap((total, base.d), np.int8, scratch)
+    scales = scratch_memmap((total,), np.float32, scratch)
     cursor = offsets[:-1].copy()
     for ix in indices:
         offs = ix.list_offsets
@@ -165,7 +167,7 @@ def index_combiner(indices_folder: str, output_folder: str):
     if kind == "ivfpq":
         merged = combine_ivfpq(indices, scratch_dir=output_folder)
     elif kind == "ivf_int8":
-        merged = combine_ivf_int8(indices)
+        merged = combine_ivf_int8(indices, scratch_dir=output_folder)
     else:
         raise ValueError(
             f"combiner supports list-based indices (ivfpq, ivf_int8); "

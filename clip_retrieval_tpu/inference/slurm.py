@@ -166,17 +166,24 @@ class SlurmDistributor:
                         universal_newlines=True,
                     )
                     if r.returncode != 0:
-                        if (
-                            "invalid job id" in r.stderr.lower()
-                            and seen_running
-                        ):
-                            # record purged past MinJobAge → probably
-                            # finished; _finish verifies via sacct (a
-                            # lost-state controller restart purges PENDING
-                            # jobs too).  Without a prior sighting this is
-                            # a bad job id / lost state — failure path.
-                            self._finish(job_id, "purged from squeue")
-                            return
+                        if "invalid job id" in r.stderr.lower():
+                            if seen_running:
+                                # record purged past MinJobAge → probably
+                                # finished; _finish verifies via sacct (a
+                                # lost-state controller restart purges
+                                # PENDING jobs too).
+                                self._finish(job_id, "purged from squeue")
+                                return
+                            # never sighted: the controller does not know
+                            # this id at all — a bad id / lost state, not a
+                            # transient outage; retrying for 5 min would
+                            # only misattribute the root cause
+                            raise RuntimeError(
+                                f"slurm does not recognize job {job_id} "
+                                f"(squeue: {r.stderr.strip()!r}) and it was "
+                                "never seen in the queue — bad job id or "
+                                "controller lost state at submit"
+                            )
                         raise subprocess.CalledProcessError(
                             r.returncode, r.args, r.stdout, r.stderr
                         )

@@ -155,6 +155,44 @@ def test_sbatch_federated_output_parses(tmp_path, monkeypatch):
     dist()
 
 
+def test_unknown_job_id_fails_fast(tmp_path, monkeypatch):
+    """'Invalid job id' with no prior sighting means the controller never
+    knew the job — raise immediately naming the id, instead of burning the
+    ~5 min transient-outage retry loop and blaming squeue."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 13"\n')
+    _fake_bin(
+        bindir, "squeue",
+        'echo "slurm_load_jobs error: Invalid job id specified" >&2\nexit 1\n',
+    )
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    slept = []
+    monkeypatch.setattr("time.sleep", lambda s: slept.append(s))
+    dist = _make_distributor(tmp_path)
+    with pytest.raises(RuntimeError, match="does not recognize job 13"):
+        dist()
+    assert not slept  # no retry loop
+
+
+def test_invalid_job_id_after_sighting_verifies_via_sacct(tmp_path, monkeypatch):
+    """Once the job has been seen running, an 'invalid job id' means it was
+    purged past MinJobAge — goes to sacct verification, not failure."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    state = tmp_path / "seen"
+    _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 14"\n')
+    _fake_bin(
+        bindir, "squeue",
+        f'if [ ! -f {state} ]; then touch {state}; echo "14 R"; exit 0; fi\n'
+        'echo "slurm_load_jobs error: Invalid job id specified" >&2\nexit 1\n',
+    )
+    _fake_bin(bindir, "sacct", 'echo "COMPLETED"\n')
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    dist = _make_distributor(tmp_path)
+    dist()  # no raise
+
+
 def test_timeout_cancels_job(tmp_path, monkeypatch):
     bindir = tmp_path / "bin"
     bindir.mkdir()
