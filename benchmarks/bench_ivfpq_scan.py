@@ -67,9 +67,9 @@ def bench(fn, iters=20, warmup=3):
 
 
 def sustained_device(ix, q, k, nprobe, iters=30):
-    """On-chip rate: pipeline many async dispatches of the one-shot search
-    program, sync once.  Removes per-call dispatch/readback latency (which
-    through this harness's relay is ~30 ms but ~µs on a local host)."""
+    """On-chip rate: pipeline many async dispatches of the search plan,
+    sync once.  Removes per-call dispatch/readback latency (which through
+    this harness's relay is ~30 ms but ~µs on a local host)."""
     import jax
     import jax.numpy as jnp
     from clip_retrieval_tpu.index import ivfpq as ivf
@@ -79,18 +79,34 @@ def sustained_device(ix, q, k, nprobe, iters=30):
     dv = ix._device
     if ivf._pick_scorer() == "pallas":
         qr = jnp.asarray(ix._rotate(q))
-        # same dynamic right-sizing as _search_device
-        _, _, ctotals = ivf._coarse_probe(
-            qr, dv["coarse"], dv["csizes"], nprobe
-        )
-        nchunk_q = ivf._next_pow2(max(int(jnp.max(ctotals)), 8))
+        # same per-query pow2 budget bucketing as _search_device: the plan
+        # (bucket → query subset) is fixed for a fixed query set, so it is
+        # computed once here and the dispatches are timed
+        worst_chunks, expected = ix._skew_factor(nprobe)
+        if worst_chunks > 4 * expected:
+            _, _, ctotals = ivf._coarse_probe(
+                qr, dv["coarse"], dv["csizes"], nprobe
+            )
+            buckets = ivf._budget_buckets(np.asarray(ctotals), 8)
+        else:
+            buckets = {
+                ivf._next_pow2(max(worst_chunks, 8)): np.arange(q.shape[0])
+            }
+        plan = []
+        for nchunk_q, sel in buckets.items():
+            bpad = ivf._next_pow2(max(len(sel), 1))
+            padded = np.concatenate([sel, np.repeat(sel[:1], bpad - len(sel))])
+            plan.append((jnp.asarray(qr[padded]), nchunk_q))
 
         def call():
-            return ivf._search_pallas(
-                qr, dv["coarse"], dv["codebooks"], dv["flat_codes"],
-                dv["astarts"], dv["starts"], dv["sizes"],
-                min(k, nchunk_q * ivf._ALIGN), nchunk_q, nprobe, False,
-            )
+            out = None
+            for qsub, nchunk_q in plan:
+                out = ivf._search_pallas(
+                    qsub, dv["coarse"], dv["codebooks"], dv["flat_codes"],
+                    dv["astarts"], dv["starts"], dv["sizes"],
+                    min(k, nchunk_q * ivf._ALIGN), nchunk_q, nprobe, False,
+                )
+            return out
 
     else:
         budget = ivf._next_pow2(max(ix._static_budget(nprobe), 1024))
@@ -122,7 +138,9 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=512)
     ap.add_argument("--m", type=int, default=64)
-    ap.add_argument("--nlist", type=int, default=1024)
+    # ~4√N for the default 1M corpus (autotune picks 8√N-pow2; 1024 was
+    # unrealistically coarse and hid list-length skew effects)
+    ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--k", type=int, default=40)
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()

@@ -2,21 +2,30 @@
 
 The 100M-per-host serving tier.  The sharded int8 flat tier (sharded_flat.py)
 is exact but scans every row: at 12.5M rows/chip that is ~2.4k QPS.  This
-index stores rows **grouped by IVF list** (padded (nlist, Lmax, d) int8 on
-device) and scans only probed lists:
+index stores rows grouped by IVF list in a **chunked CSR layout** — every
+list occupies ceil(size/Lc) fixed-size chunks of Lc rows in one flat
+(nchunks, Lc, d) int8 array — and scans only probed lists:
 
 - coarse scores: one (B, d)×(d, nlist) matmul;
-- **union probing**: each query picks its own top-nprobe lists, and the
-  batch scans the (statically capped at B·nprobe) union with one dense
-  (B, d)×(d, U·Lmax) int8 GEMM — per-query matvecs would run at 1/128 MXU
-  efficiency. Extra union lists only add candidates, so per-query recall is
-  ≥ classical per-query nprobe recall; the pruning factor is
-  nlist/(B·nprobe), so size nlist ≫ B·nprobe (e.g. nlist=32k for
-  12M rows/chip at B≤64, nprobe 32);
-- row gather is U contiguous (Lmax, d) slices — large-slice gathers are
+- **union probing**: each query picks its own top-nprobe lists, the
+  per-list selection score is expanded to per-chunk scores with one gather
+  (all chunks of a probed list share its score, so the chunk top-k takes
+  whole lists), and the batch scans the union with one dense
+  (B, d)×(d, U·Lc) int8 GEMM — per-query matvecs would run at 1/128 MXU
+  efficiency.  Extra union lists only add candidates, so per-query recall
+  is ≥ classical per-query nprobe recall; the chunk budget statically
+  covers the worst possible probed union (sum of the B·nprobe largest
+  lists' chunk counts), so probed lists are never truncated;
+- row gather is U contiguous (Lc, d) slices — large-slice gathers are
   MXU-feed-rate on TPU, unlike the per-element LUT gathers that sink
   FAISS-style ADC here (see ops/int8mm.py);
-- approx_max_k top-k over the masked (B, U·Lmax) scores.
+- approx_max_k top-k over the masked (B, U·Lc) scores.
+
+The chunked layout replaces the r2 (nlist, Lmax, d) padded image whose
+global-Lmax padding let one hot list inflate every list's slot (≥51 GB host
+RAM at the 100M×512 tier before skew): padding is now bounded by nlist·Lc
+rows regardless of skew, construction is fully vectorized (no per-list
+Python loop), and the big array is disk-backed scratch at scale.
 
 Scan fraction min(1, B·nprobe/nlist) divides cost vs the flat tier; recall
 is the IVF probe recall × int8 (≈1).  Probe recall is data-dependent as in
@@ -42,20 +51,121 @@ import numpy as np
 
 from ..ops.int8mm import quantize_rows, quantize_rows_device
 
+# build the chunked image into disk-backed scratch above this many rows —
+# below it a plain RAM array is cheaper than memmap page traffic
+_SCRATCH_ROWS = 4_000_000
 
-@functools.partial(jax.jit, static_argnames=("k", "probe_lists", "exact_topk"))
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+def _chunk_len(ntotal: int, nlist: int) -> int:
+    """Chunk length Lc: ~the mean list size, clamped to [32, 256] pow2.
+    Small enough that per-list padding (< Lc rows) is a few percent at
+    scale, large enough that each (Lc, d) slice gather is an efficient
+    DMA."""
+    mean = max(1, ntotal // max(nlist, 1))
+    return min(256, max(32, _next_pow2(mean)))
+
+
+def build_chunked_image(
+    q_vectors,
+    scales,
+    list_offsets: np.ndarray,
+    lc: int,
+    lo: int = 0,
+    hi: int | None = None,
+    pad_chunks: int | None = None,
+    scratch_dirs=(),
+):
+    """Chunked CSR device image for lists [lo, hi), fully vectorized.
+
+    Returns a dict of host arrays:
+      rows   (nc, Lc, d) int8 — list rows packed into fixed-size chunks
+      scales (nc, Lc) f32     — 0 ⇒ padding row
+      pos    (nc, Lc) i32     — global CSR position, −1 ⇒ padding
+      clist  (nc,) i32        — owning list (LOCAL index, i.e. li − lo);
+                                −1 ⇒ padding chunk (pad_chunks fill)
+    where nc = Σ ceil(size/Lc) over [lo, hi), padded up to `pad_chunks`
+    when given (shard-equal sizing).  `rows` is disk-backed scratch above
+    _SCRATCH_ROWS rows so peak host RSS stays bounded at corpus scale.
+    """
+    offs = np.asarray(list_offsets, np.int64)
+    hi = offs.shape[0] - 1 if hi is None else hi
+    d = q_vectors.shape[1]
+    sizes = np.diff(offs[lo : hi + 1])
+    csr_starts = offs[lo:hi]
+    chunk_counts = -(-sizes // lc)
+    castarts = np.zeros(hi - lo, np.int64)
+    if hi - lo > 1:
+        np.cumsum(chunk_counts[:-1], out=castarts[1:])
+    nc = int(chunk_counts.sum())
+    nc_pad = max(nc, 1) if pad_chunks is None else pad_chunks
+    assert nc_pad >= nc, (nc_pad, nc)
+    nrows = nc_pad * lc
+    if nrows >= _SCRATCH_ROWS:
+        from .build import scratch_memmap
+
+        rows = scratch_memmap((nrows, d), np.int8, scratch_dirs)
+        rows[:] = 0
+    else:
+        rows = np.zeros((nrows, d), np.int8)
+    sc = np.zeros((nrows,), np.float32)
+    pos = np.full((nrows,), -1, np.int32)
+    n_local = int(sizes.sum())
+    if n_local:
+        # dst row of CSR row r (list li) = castart[li]·Lc + (r − csr_start[li])
+        dst = (
+            np.repeat(castarts * lc - csr_starts, sizes)
+            + np.arange(offs[lo], offs[hi], dtype=np.int64)
+        )
+        src = slice(int(offs[lo]), int(offs[hi]))
+        rows[dst] = q_vectors[src]
+        sc[dst] = scales[src]
+        pos[dst] = np.arange(offs[lo], offs[hi], dtype=np.int64)
+    clist = np.full((nc_pad,), -1, np.int32)
+    clist[:nc] = np.repeat(
+        np.arange(hi - lo, dtype=np.int32), chunk_counts
+    )
+    return {
+        "rows": rows.reshape(nc_pad, lc, d),
+        "scales": sc.reshape(nc_pad, lc),
+        "pos": pos.reshape(nc_pad, lc),
+        "clist": clist,
+    }
+
+
+def chunk_budget(chunk_counts: np.ndarray, n_lists: int) -> int:
+    """Worst-case probed-union chunk count: the n_lists largest lists'
+    chunk counts.  A top-k budget this size guarantees every probed list
+    is fully scanned (exact union semantics) without depending on which
+    lists the batch actually probes."""
+    nc = int(chunk_counts.sum())
+    if n_lists >= chunk_counts.size:
+        return nc
+    desc = np.sort(chunk_counts)[::-1]
+    return min(nc, int(desc[:n_lists].sum()))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "probe_lists", "u_cap", "exact_topk")
+)
 def _search_device(
     q,  # (B, d) f32
     coarse,  # (nlist, d) f32
-    rows,  # (nlist, Lmax, d) int8
-    scales,  # (nlist, Lmax) f32  (0 ⇒ padding row)
-    ids,  # (nlist, Lmax) int32 (−1 ⇒ padding)
+    rows,  # (nchunks, Lc, d) int8
+    scales,  # (nchunks, Lc) f32  (0 ⇒ padding row)
+    pos,  # (nchunks, Lc) int32 (−1 ⇒ padding)
+    clist,  # (nchunks,) int32 — owning list per chunk (−1 ⇒ padding chunk)
     k: int,
     probe_lists: int,
+    u_cap: int,
     exact_topk: bool,
 ):
     b, d = q.shape
     nlist = coarse.shape[0]
+    nchunks, lc, _ = rows.shape
     coarse_scores = jnp.dot(q, coarse.T, preferred_element_type=jnp.float32)
     # per-query top-nprobe probes, then the batch scans their UNION: every
     # query is guaranteed its own nprobe lists, and the extra union lists
@@ -68,33 +178,40 @@ def _search_device(
     agg = (agg - jnp.min(agg)) / (
         jnp.max(agg) - jnp.min(agg) + 1e-9
     )  # (0,1) tie-break
-    u_cap = min(nlist, b * min(probe_lists, nlist))
-    _, top_u = jax.lax.top_k(presence * 2.0 + agg, u_cap)  # (U,)
-    sub_rows = rows[top_u]  # (U, Lmax, d) int8 — U big-slice gathers
-    sub_scales = scales[top_u]  # (U, Lmax)
-    sub_ids = ids[top_u]  # (U, Lmax)
-    u, lmax, _ = sub_rows.shape
+    list_score = presence * 2.0 + agg  # (nlist,)
+    # expand list scores to chunk scores: all chunks of a probed list tie,
+    # so the chunk top-k takes whole lists (budget covers the worst union)
+    chunk_score = jnp.where(
+        clist >= 0,
+        jnp.take(list_score, jnp.clip(clist, 0, nlist - 1)),
+        -jnp.inf,
+    )
+    u = min(nchunks, u_cap)
+    _, top_u = jax.lax.top_k(chunk_score, u)  # (U,)
+    sub_rows = rows[top_u]  # (U, Lc, d) int8 — U big-slice gathers
+    sub_scales = scales[top_u]  # (U, Lc)
+    sub_pos = pos[top_u]  # (U, Lc)
     qq, q_scale = quantize_rows_device(q)
     acc = jax.lax.dot_general(
         qq,
-        sub_rows.reshape(u * lmax, d),
+        sub_rows.reshape(u * lc, d),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # (B, U*Lmax)
+    )  # (B, U*Lc)
     scores = (
         acc.astype(jnp.float32)
         * q_scale[:, None]
-        * sub_scales.reshape(1, u * lmax)
+        * sub_scales.reshape(1, u * lc)
     )
-    valid = sub_ids.reshape(1, u * lmax) >= 0
+    valid = sub_pos.reshape(1, u * lc) >= 0
     scores = jnp.where(valid, scores, -jnp.inf)
-    k_eff = min(k, u * lmax)
-    if exact_topk or u * lmax < 4 * 1024:
-        vals, pos = jax.lax.top_k(scores, k_eff)
+    k_eff = min(k, u * lc)
+    if exact_topk or u * lc < 4 * 1024:
+        vals, ppos = jax.lax.top_k(scores, k_eff)
     else:
-        vals, pos = jax.lax.approx_max_k(scores, k_eff, recall_target=0.95)
+        vals, ppos = jax.lax.approx_max_k(scores, k_eff, recall_target=0.95)
     out_ids = jnp.take_along_axis(
-        jnp.broadcast_to(sub_ids.reshape(1, u * lmax), scores.shape), pos,
+        jnp.broadcast_to(sub_pos.reshape(1, u * lc), scores.shape), ppos,
         axis=1,
     )
     return vals, jnp.where(jnp.isfinite(vals), out_ids, -1)
@@ -123,6 +240,7 @@ class IVFInt8Index:
         self.nprobe = nprobe  # = probe_lists U (batch-shared)
         self.exact_topk = exact_topk
         self._device = None
+        self._chunk_counts = None
         self._id_to_pos = None
 
     @property
@@ -197,33 +315,26 @@ class IVFInt8Index:
     def _ensure_device(self):
         if self._device is not None:
             return
-        sizes = self.list_sizes()
-        lmax = max(1, int(sizes.max()) if sizes.size else 1)
-        nlist = self.nlist
         if self.ntotal >= np.iinfo(np.int32).max:
             raise ValueError(
                 f"ivf_int8 device image supports < 2^31 rows per index "
                 f"(got {self.ntotal}); shard the corpus"
             )
-        rows = np.zeros((nlist, lmax, self.d), np.int8)
-        scales = np.zeros((nlist, lmax), np.float32)
+        lc = _chunk_len(self.ntotal, self.nlist)
         # the device image carries int32 CSR POSITIONS, not vector ids —
         # ids are int64 on disk and may exceed 2^31 (e.g. after combining);
         # positions are bounded by the row count and map back through
         # list_ids on the host after readback
-        pos = np.full((nlist, lmax), -1, np.int32)
-        for li in range(nlist):
-            s, e = self.list_offsets[li], self.list_offsets[li + 1]
-            m = int(e - s)
-            if m:
-                rows[li, :m] = self.q_vectors[s:e]
-                scales[li, :m] = self.scales[s:e]
-                pos[li, :m] = np.arange(s, e, dtype=np.int32)
+        img = build_chunked_image(
+            self.q_vectors, self.scales, self.list_offsets, lc
+        )
+        self._chunk_counts = -(-self.list_sizes() // lc)
         self._device = {
             "coarse": jnp.asarray(self.coarse_centroids),
-            "rows": jnp.asarray(rows),
-            "scales": jnp.asarray(scales),
-            "ids": jnp.asarray(pos),
+            "rows": jnp.asarray(img["rows"]),
+            "scales": jnp.asarray(img["scales"]),
+            "ids": jnp.asarray(img["pos"]),
+            "clist": jnp.asarray(img["clist"]),
         }
 
     def _positions_to_ids(self, pos: np.ndarray) -> np.ndarray:
@@ -259,16 +370,23 @@ class IVFInt8Index:
             )
         self._ensure_device()
         dv = self._device
-        u = min(self.nprobe, self.nlist)
+        p = min(self.nprobe, self.nlist)
         q, b = self._pad_queries_pow2(queries)
+        # chunk budget covering the worst possible probed union for this
+        # padded batch (pow2 so compile diversity stays bounded)
+        u_cap = _next_pow2(
+            chunk_budget(self._chunk_counts, q.shape[0] * p)
+        )
         vals, ids = _search_device(
             jnp.asarray(q),
             dv["coarse"],
             dv["rows"],
             dv["scales"],
             dv["ids"],
+            dv["clist"],
             min(k, self.ntotal),
-            u,
+            p,
+            u_cap,
             self.exact_topk,
         )
         vals = np.asarray(vals)[:b]

@@ -238,6 +238,22 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n - 1).bit_length())
 
 
+def _budget_buckets(totals: np.ndarray, floor: int) -> dict[int, np.ndarray]:
+    """Group query indices by the power-of-2 budget ≥ each query's probed
+    total.  Under skew this is the fix for the batch-max trap: one query
+    probing a giant list gets its own big-budget dispatch instead of
+    inflating every other query's scan range; pow2 budgets bound compile
+    diversity to one program per (bucket, padded-batch) pair."""
+    budgets = np.maximum(np.asarray(totals, np.int64), floor)
+    budgets = np.int64(1) << np.int64(
+        np.ceil(np.log2(budgets.astype(np.float64)))
+    )
+    return {
+        int(bud): np.nonzero(budgets == bud)[0]
+        for bud in np.unique(budgets)
+    }
+
+
 class IVFPQIndex:
     index_type = "ivfpq"
 
@@ -404,6 +420,17 @@ class IVFPQIndex:
             self._chunks_desc_cumsum = np.cumsum(chunks)
         return int(self._chunks_desc_cumsum[min(nprobe, self.nlist) - 1])
 
+    def _skew_factor(self, nprobe: int) -> tuple[int, int]:
+        """(worst_chunks, expected_chunks): the static worst-case probed
+        chunk budget vs what a typical query probes.  worst ≫ expected is
+        the skew regime where batch-max budgets over-scan badly."""
+        worst_chunks = self._static_chunk_budget(nprobe)
+        total_chunks = int(self._chunks_desc_cumsum[-1])
+        expected = max(
+            8, total_chunks * min(nprobe, self.nlist) // max(self.nlist, 1)
+        )
+        return worst_chunks, expected
+
     def _search_device(
         self, queries: np.ndarray, k: int, nprobe: int
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -417,40 +444,59 @@ class IVFPQIndex:
         use_pallas = (
             _pick_scorer() == "pallas" and self.codebooks.shape[1] == 256
         )
+        # every branch fills these full-size outputs (short buckets leave
+        # their -inf/-1 tail in place)
+        vals = np.full((b, k), -np.inf, np.float32)
+        rows = np.full((b, k), -1, np.int64)
         if use_pallas and worst <= _STATIC_BUDGET_MAX:
-            # Pallas streaming ADC (one-hot MXU).  The chunk budget covers
-            # the worst possible probe set (exact).  Under heavy skew the
-            # worst case over-scans typical queries badly, so pay one
-            # scalar sync for the batch's actual max instead.
-            worst_chunks = self._static_chunk_budget(nprobe)
-            total_chunks = int(self._chunks_desc_cumsum[-1])
-            expected = max(8, total_chunks * min(nprobe, self.nlist)
-                           // max(self.nlist, 1))
+            # Pallas streaming ADC (one-hot MXU).  The static chunk budget
+            # covers the worst possible probe set (exact).  Under skew the
+            # worst case over-scans typical queries badly — one query
+            # probing a giant list must not drag the whole batch — so pay
+            # one (B,)-vector sync for the actual per-query totals and
+            # dispatch per-query-right-sized pow2 budget buckets.
+            worst_chunks, expected = self._skew_factor(nprobe)
+            interp = jax.devices()[0].platform != "tpu"
             if worst_chunks > 4 * expected:
                 _, _, ctotals = _coarse_probe(
                     qr, dv["coarse"], dv["csizes"], nprobe
                 )
-                worst_chunks = int(jnp.max(ctotals))  # host sync: one scalar
-            nchunk_q = _next_pow2(max(worst_chunks, 8))
-            k_eff = min(k, nchunk_q * _ALIGN)
-            interp = jax.devices()[0].platform != "tpu"
-            vals_parts, rows_parts = [], []
-            for s in range(0, b, _PALLAS_MAX_B):
-                e = min(b, s + _PALLAS_MAX_B)
-                v, r = _search_pallas(
-                    qr[s:e], dv["coarse"], dv["codebooks"],
-                    dv["flat_codes"], dv["astarts"], dv["starts"],
-                    dv["sizes"],
-                    k_eff, nchunk_q, nprobe, interp,
-                )
+                buckets = _budget_buckets(np.asarray(ctotals), 8)
+            else:
+                buckets = {
+                    _next_pow2(max(worst_chunks, 8)): np.arange(b)
+                }
+            pending = []
+            for nchunk_q, sel in buckets.items():
+                k_eff = min(k, nchunk_q * _ALIGN)
+                for s in range(0, len(sel), _PALLAS_MAX_B):
+                    sub = sel[s : s + _PALLAS_MAX_B]
+                    # pad the bucket to a pow2 batch so compile diversity
+                    # stays one program per (budget, padded-batch) pair
+                    bpad = _next_pow2(max(len(sub), 1))
+                    padded = np.concatenate(
+                        [sub, np.repeat(sub[:1], bpad - len(sub))]
+                    )
+                    v, r = _search_pallas(
+                        qr[padded], dv["coarse"], dv["codebooks"],
+                        dv["flat_codes"], dv["astarts"], dv["starts"],
+                        dv["sizes"],
+                        k_eff, nchunk_q, nprobe, interp,
+                    )
+                    pending.append((sub, k_eff, v, r))
+            # all dispatches are in flight before the first readback —
+            # through a high-RTT relay the syncs overlap with execution
+            for sub, k_eff, v, r in pending:
                 v, r = jax.device_get((v, r))
-                vals_parts.append(v)
-                rows_parts.append(r)
-            vals = np.concatenate(vals_parts)
-            rows = np.concatenate(rows_parts)
-        elif worst <= _STATIC_BUDGET_MAX:
-            # one-shot: single dispatch + single readback, exact because the
-            # budget covers the worst possible probe set
+                kk = min(k, k_eff)
+                vals[sub, :kk] = v[: len(sub), :kk]
+                rows[sub, :kk] = r[: len(sub), :kk]
+        elif worst <= _STATIC_BUDGET_MAX and worst <= 4 * max(
+            8 * _ALIGN,
+            self.ntotal * min(nprobe, self.nlist) // max(self.nlist, 1),
+        ):
+            # uniform lists: one static-budget dispatch + one readback,
+            # exact because the budget covers the worst possible probe set
             slot_budget = _next_pow2(max(worst, 1024))
             window = min(_SCAN_WINDOW, slot_budget)
             nwin = slot_budget // window
@@ -460,54 +506,54 @@ class IVFPQIndex:
                 dv["astarts"], dv["starts"], dv["sizes"],
                 k_eff, window, nwin, nprobe,
             )
-            vals, rows = jax.device_get((v, r))
+            v, r = jax.device_get((v, r))
+            vals[:, :k_eff] = v
+            rows[:, :k_eff] = r
         else:
-            # adversarial skew at scale: pay one scalar sync for the actual
-            # max probed total, then scan a right-sized slot range
+            # skew (or beyond the static cap): pay one (B,)-vector sync for
+            # the actual probed totals, then scan right-sized pow2 slot
+            # buckets so no query pays another's giant probed list
             probe_vals, probe_idx, totals = _coarse_probe(
                 qr, dv["coarse"], dv["sizes"], nprobe
             )
-            max_total = int(jnp.max(totals))  # host sync: one scalar
-            # power-of-2 bucket ≥ the largest probed total, so recompiles
-            # are bounded (one per bucket) and nothing is dropped
-            slot_budget = _next_pow2(max(max_total, 1024))
-            window = min(_SCAN_WINDOW, slot_budget)
-            nwin = slot_budget // window
-            k_eff = min(k, slot_budget)
-            astarts = jnp.take(dv["astarts"], probe_idx)
-            cstarts = jnp.take(dv["starts"], probe_idx)
-            psizes = jnp.take(dv["sizes"], probe_idx)
-            # bound the per-call transient: split the query batch if the
-            # slot range is huge (skew with giant probed lists)
-            b_step = max(1, _SLOT_BUDGET_PER_QUERY // max(slot_budget, 1))
-            vals_parts, rows_parts = [], []
-            for s in range(0, b, b_step):
-                e = min(b, s + b_step)
-                v, r = _scan_device(
-                    qr[s:e],
-                    dv["codebooks"],
-                    dv["flat_codes"],
-                    astarts[s:e],
-                    cstarts[s:e],
-                    psizes[s:e],
-                    probe_vals[s:e],
-                    k_eff,
-                    window,
-                    nwin,
+            buckets = _budget_buckets(np.asarray(totals), 1024)
+            pending = []
+            for slot_budget, sel in buckets.items():
+                window = min(_SCAN_WINDOW, slot_budget)
+                nwin = slot_budget // window
+                k_eff = min(k, slot_budget)
+                # bound the per-call transient: split the bucket if the
+                # slot range is huge (skew with giant probed lists)
+                b_step = max(
+                    1, _SLOT_BUDGET_PER_QUERY // max(slot_budget, 1)
                 )
-                vals_parts.append(np.asarray(v))
-                rows_parts.append(np.asarray(r))
-            vals = np.concatenate(vals_parts)
-            rows = np.concatenate(rows_parts)
-        rows = rows.astype(np.int64)
+                for s in range(0, len(sel), b_step):
+                    sub = sel[s : s + b_step]
+                    bpad = _next_pow2(max(len(sub), 1))
+                    padded = np.concatenate(
+                        [sub, np.repeat(sub[:1], bpad - len(sub))]
+                    )
+                    v, r = _scan_device(
+                        qr[padded],
+                        dv["codebooks"],
+                        dv["flat_codes"],
+                        jnp.take(dv["astarts"], probe_idx[padded]),
+                        jnp.take(dv["starts"], probe_idx[padded]),
+                        jnp.take(dv["sizes"], probe_idx[padded]),
+                        probe_vals[padded],
+                        k_eff,
+                        window,
+                        nwin,
+                    )
+                    pending.append((sub, k_eff, v, r))
+            for sub, k_eff, v, r in pending:
+                v, r = jax.device_get((v, r))
+                kk = min(k, k_eff)
+                vals[sub, :kk] = v[: len(sub), :kk]
+                rows[sub, :kk] = r[: len(sub), :kk]
         # map CSR positions → original ids on host (ids may exceed int32)
         ids_arr = np.asarray(self.list_ids)
         ids = np.where(rows >= 0, ids_arr[np.where(rows >= 0, rows, 0)], -1)
-        if k_eff < k:
-            vals = np.pad(
-                vals, ((0, 0), (0, k - k_eff)), constant_values=-np.inf
-            )
-            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return vals, ids
 
     def _search_host(self, queries: np.ndarray, k: int, nprobe: int):

@@ -35,7 +35,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.int8mm import quantize_rows_device
 from ..parallel.mesh import local_mesh, pad_to_multiple
-from .ivf_int8 import IVFInt8Index
+from .ivf_int8 import (
+    IVFInt8Index,
+    _chunk_len,
+    _next_pow2,
+    build_chunked_image,
+    chunk_budget,
+)
 
 
 class ShardedIVFInt8Index(IVFInt8Index):
@@ -54,8 +60,6 @@ class ShardedIVFInt8Index(IVFInt8Index):
         mesh = self.mesh or local_mesh()
         self.mesh = mesh
         n_dev = mesh.devices.size
-        sizes = self.list_sizes()
-        lmax = max(1, int(sizes.max()) if sizes.size else 1)
         nlist = self.nlist
         nlist_pad = pad_to_multiple(max(nlist, n_dev), n_dev)
         if self.ntotal >= np.iinfo(np.int32).max:
@@ -63,40 +67,80 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 f"ivf_int8 device image supports < 2^31 rows per index "
                 f"(got {self.ntotal}); shard the corpus"
             )
-        rows = np.zeros((nlist_pad, lmax, self.d), np.int8)
-        scales = np.zeros((nlist_pad, lmax), np.float32)
-        # int32 CSR positions, not raw ids (ids are int64 and may exceed
-        # 2^31); mapped back through list_ids on host after the merge
-        ids = np.full((nlist_pad, lmax), -1, np.int32)
-        for li in range(nlist):
-            s, e = self.list_offsets[li], self.list_offsets[li + 1]
-            m = int(e - s)
-            if m:
-                rows[li, :m] = self.q_vectors[s:e]
-                scales[li, :m] = self.scales[s:e]
-                ids[li, :m] = np.arange(s, e, dtype=np.int32)
-        coarse = np.zeros((nlist_pad, self.d), np.float32)
-        coarse[:nlist] = self.coarse_centroids
+        lc = _chunk_len(self.ntotal, nlist)
+        ls = nlist_pad // n_dev  # lists per shard
+        sizes = np.zeros((nlist_pad,), np.int64)
+        sizes[:nlist] = self.list_sizes()
+        chunk_counts = -(-sizes // lc)
+        # shard-equal chunk counts: every shard's image is padded to the
+        # largest shard's chunk count (padding chunks carry clist = −1 and
+        # are masked out of the chunk top-k)
+        per_shard_nc = chunk_counts.reshape(n_dev, ls).sum(axis=1)
+        nc_shard = max(1, int(per_shard_nc.max()))
+        self._shard_chunk_counts = chunk_counts.reshape(n_dev, ls)
+        self._lc = lc
+        # stream the image shard by shard: build one shard's slice, put it
+        # on its device, free it — peak host RSS ≈ one shard (the slice is
+        # disk-backed scratch above _SCRATCH_ROWS rows), never the full
+        # (nlist_pad, Lmax, d) host image the r2 layout materialized
+        devices = mesh.devices.reshape(-1)
+        bufs = {"rows": [], "scales": [], "ids": [], "clist": [], "coarse": [],
+                "valid": []}
+        coarse_pad = np.zeros((nlist_pad, self.d), np.float32)
+        coarse_pad[:nlist] = self.coarse_centroids
         # padding lists (nlist..nlist_pad) are masked out of the probe by an
         # explicit validity vector — a sentinel centroid can outrank real
         # lists for queries with a negative dot against it, silently burning
         # probe slots on empty lists
         list_valid = np.zeros((nlist_pad,), np.bool_)
         list_valid[:nlist] = True
+        for s in range(n_dev):
+            lo, hi = s * ls, min(nlist, (s + 1) * ls)
+            if hi <= lo:  # shard owns only padding lists
+                img = build_chunked_image(
+                    self.q_vectors, self.scales, self.list_offsets, lc,
+                    lo=0, hi=0, pad_chunks=nc_shard,
+                )
+            else:
+                img = build_chunked_image(
+                    self.q_vectors, self.scales, self.list_offsets, lc,
+                    lo=lo, hi=hi, pad_chunks=nc_shard,
+                )
+            dev = devices[s]
+            bufs["rows"].append(jax.device_put(img["rows"], dev))
+            bufs["scales"].append(jax.device_put(img["scales"], dev))
+            bufs["ids"].append(jax.device_put(img["pos"], dev))
+            bufs["clist"].append(jax.device_put(img["clist"], dev))
+            bufs["coarse"].append(
+                jax.device_put(coarse_pad[s * ls : (s + 1) * ls], dev)
+            )
+            bufs["valid"].append(
+                jax.device_put(list_valid[s * ls : (s + 1) * ls], dev)
+            )
+            del img  # host slice freed before the next shard is built
         row_sh = NamedSharding(mesh, P("dp"))
-        self._device = {
-            "coarse": jax.device_put(coarse, row_sh),
-            "rows": jax.device_put(rows, row_sh),
-            "scales": jax.device_put(scales, row_sh),
-            "ids": jax.device_put(ids, row_sh),
-            "valid": jax.device_put(list_valid, row_sh),
-        }
-        ls = nlist_pad // n_dev  # lists per shard
 
-        def shard_search(q, coarse_l, rows_l, scales_l, ids_l, valid_l,
-                         k, probe, exact_topk):
-            # per shard: probe the top-`probe` LOCAL lists, scan their
-            # union, emit local top-k with global vector ids
+        def _assemble(name, per_shard_shape):
+            return jax.make_array_from_single_device_arrays(
+                (n_dev * per_shard_shape[0], *per_shard_shape[1:]),
+                row_sh,
+                bufs[name],
+            )
+
+        self._device = {
+            "coarse": _assemble("coarse", (ls, self.d)),
+            "rows": _assemble("rows", (nc_shard, lc, self.d)),
+            "scales": _assemble("scales", (nc_shard, lc)),
+            "ids": _assemble("ids", (nc_shard, lc)),
+            "clist": _assemble("clist", (nc_shard,)),
+            "valid": _assemble("valid", (ls,)),
+        }
+
+        def shard_search(q, coarse_l, rows_l, scales_l, ids_l, clist_l,
+                         valid_l, k, probe, u_cap, exact_topk):
+            # per shard: probe the top-`probe` LOCAL lists, expand list
+            # scores to this shard's chunks, scan the union with one int8
+            # GEMM, emit local top-k with global CSR positions
             b, d = q.shape
             cs = jnp.dot(q, coarse_l.T, preferred_element_type=jnp.float32)
             cs = jnp.where(valid_l[None, :], cs, jnp.float32(-1e30))
@@ -112,35 +156,40 @@ class ShardedIVFInt8Index(IVFInt8Index):
             agg = jnp.where(
                 valid_l, (agg - amin) / (amax - amin + 1e-9), -1.0
             )  # padding lists rank below every real list in the union fill
-            u_cap = min(ls, b * p)
-            _, top_u = jax.lax.top_k(presence * 2.0 + agg, u_cap)
-            sub_rows = rows_l[top_u]  # (U, Lmax, d) big-slice gathers
+            list_score = presence * 2.0 + agg
+            chunk_score = jnp.where(
+                clist_l >= 0,
+                jnp.take(list_score, jnp.clip(clist_l, 0, ls - 1)),
+                -jnp.inf,
+            )
+            u = min(int(clist_l.shape[0]), u_cap)
+            _, top_u = jax.lax.top_k(chunk_score, u)
+            sub_rows = rows_l[top_u]  # (U, Lc, d) big-slice gathers
             sub_scales = scales_l[top_u]
             sub_ids = ids_l[top_u]
-            u, lm, _ = sub_rows.shape
             qq, q_scale = quantize_rows_device(q)
             acc = jax.lax.dot_general(
                 qq,
-                sub_rows.reshape(u * lm, d),
+                sub_rows.reshape(u * lc, d),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
             scores = (
                 acc.astype(jnp.float32)
                 * q_scale[:, None]
-                * sub_scales.reshape(1, u * lm)
+                * sub_scales.reshape(1, u * lc)
             )
-            valid = sub_ids.reshape(1, u * lm) >= 0
+            valid = sub_ids.reshape(1, u * lc) >= 0
             scores = jnp.where(valid, scores, -jnp.inf)
-            k_loc = min(k, u * lm)
-            if exact_topk or u * lm < 4 * 1024:
+            k_loc = min(k, u * lc)
+            if exact_topk or u * lc < 4 * 1024:
                 vals, pos = jax.lax.top_k(scores, k_loc)
             else:
                 vals, pos = jax.lax.approx_max_k(
                     scores, k_loc, recall_target=0.95
                 )
             gids = jnp.take_along_axis(
-                jnp.broadcast_to(sub_ids.reshape(1, u * lm), scores.shape),
+                jnp.broadcast_to(sub_ids.reshape(1, u * lc), scores.shape),
                 pos,
                 axis=1,
             )
@@ -159,24 +208,27 @@ class ShardedIVFInt8Index(IVFInt8Index):
             mgids = jnp.take_along_axis(all_gids, mpos, axis=1)
             return mvals, mgids
 
-        def search(q, coarse, rows_a, scales_a, ids_a, valid_a, k, probe,
-                   exact_topk):
+        def search(q, coarse, rows_a, scales_a, ids_a, clist_a, valid_a,
+                   k, probe, u_cap, exact_topk):
             kwargs = dict(
                 mesh=mesh,
-                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                in_specs=(
+                    P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                ),
                 out_specs=(P(), P()),
             )
             body = partial(
-                shard_search, k=k, probe=probe, exact_topk=exact_topk
+                shard_search, k=k, probe=probe, u_cap=u_cap,
+                exact_topk=exact_topk,
             )
             try:
                 fn = jax.shard_map(body, check_vma=False, **kwargs)
             except TypeError:  # older jax spelling
                 fn = jax.shard_map(body, check_rep=False, **kwargs)
-            return fn(q, coarse, rows_a, scales_a, ids_a, valid_a)
+            return fn(q, coarse, rows_a, scales_a, ids_a, clist_a, valid_a)
 
         self._search_fn = jax.jit(
-            search, static_argnames=("k", "probe", "exact_topk")
+            search, static_argnames=("k", "probe", "u_cap", "exact_topk")
         )
 
     # -- search --------------------------------------------------------------
@@ -190,15 +242,26 @@ class ShardedIVFInt8Index(IVFInt8Index):
             )
         self._ensure_device()
         q, b = self._pad_queries_pow2(queries)
+        p = min(self.nprobe, self.nlist)
+        # per-shard worst-case probed-union chunk budget (max over shards,
+        # pow2 so compile diversity stays bounded)
+        u_cap = _next_pow2(
+            max(
+                chunk_budget(counts, q.shape[0] * p)
+                for counts in self._shard_chunk_counts
+            )
+        )
         vals, ids = self._search_fn(
             jnp.asarray(q),
             self._device["coarse"],
             self._device["rows"],
             self._device["scales"],
             self._device["ids"],
+            self._device["clist"],
             self._device["valid"],
             min(k, self.ntotal),
-            min(self.nprobe, self.nlist),
+            p,
+            u_cap,
             self.exact_topk,
         )
         vals = np.asarray(vals)[:b]

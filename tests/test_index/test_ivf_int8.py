@@ -142,3 +142,81 @@ def test_from_vectors_memmap_input_stays_disk_backed(tmp_path):
     _, got_m = ix.search(x[:5], 3)
     _, got_r = ix_ram.search(x[:5], 3)
     np.testing.assert_array_equal(got_m, got_r)
+
+
+def test_chunked_image_memory_bounded_under_skew():
+    """The r2 failure mode: a (nlist, Lmax, d) padded image let one hot
+    list inflate every list's slot.  The chunked layout's padding is
+    bounded by nlist·Lc rows regardless of skew, and search stays exact
+    vs a flat scan of the same int8 rows."""
+    from clip_retrieval_tpu.index.ivf_int8 import (
+        IVFInt8Index,
+        _chunk_len,
+        build_chunked_image,
+    )
+
+    rng = np.random.default_rng(5)
+    d, nlist = 16, 64
+    # one giant list (5000 rows), everything else tiny or empty
+    sizes = np.zeros(nlist, np.int64)
+    sizes[0] = 5000
+    sizes[1:20] = rng.integers(1, 8, 19)
+    total = int(sizes.sum())
+    offsets = np.zeros(nlist + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    x = _unit(rng.normal(size=(total, d)).astype(np.float32))
+    from clip_retrieval_tpu.ops.int8mm import quantize_rows
+
+    qv, sc = quantize_rows(x)
+    coarse = _unit(rng.normal(size=(nlist, d)).astype(np.float32))
+    ix = IVFInt8Index(
+        d, coarse, offsets, np.arange(total, dtype=np.int64), qv, sc,
+        nprobe=nlist, exact_topk=True,
+    )
+    ix._ensure_device()
+    lc = _chunk_len(total, nlist)
+    nchunks = ix._device["rows"].shape[0]
+    # bound: the rows themselves plus < Lc padding per list
+    assert nchunks * lc <= total + nlist * lc
+    # and nowhere near the old Lmax blowup (nlist × 5000 rows)
+    assert nchunks * lc < 0.05 * nlist * 5000
+    # all lists probed + exact top-k: near-parity with an f32 flat scan
+    # (the query itself is int8-quantized, so ranking near-ties can flip)
+    q = _unit(rng.normal(size=(7, d)).astype(np.float32))
+    vals, ids = ix.search(q, 10)
+    ref = q @ (qv.astype(np.float32) * sc[:, None]).T
+    gt = np.argsort(-ref, axis=1)[:, :10]
+    overlap = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10 for i in range(len(q))]
+    )
+    assert overlap >= 0.85, overlap
+
+
+def test_build_chunked_image_shard_range_and_padding():
+    from clip_retrieval_tpu.index.ivf_int8 import build_chunked_image
+
+    rng = np.random.default_rng(6)
+    d = 8
+    offsets = np.array([0, 3, 3, 70, 71], np.int64)  # sizes 3,0,67,1
+    total = 71
+    qv = rng.integers(-127, 127, (total, d)).astype(np.int8)
+    sc = rng.random(total).astype(np.float32)
+    img = build_chunked_image(qv, sc, offsets, lc=32, lo=0, hi=4)
+    # chunk counts: 1, 0, 3, 1 → 5 chunks
+    assert img["rows"].shape == (5, 32, d)
+    np.testing.assert_array_equal(img["clist"], [0, 2, 2, 2, 3])
+    # row payloads land in their chunks; padding rows have pos −1
+    np.testing.assert_array_equal(img["rows"][0, :3], qv[:3])
+    assert (img["pos"][0, 3:] == -1).all()
+    np.testing.assert_array_equal(
+        img["pos"][1:4].reshape(-1)[:67], np.arange(3, 70)
+    )
+    np.testing.assert_array_equal(img["rows"][4, 0], qv[70])
+    # shard sub-range [2, 4) with pad_chunks: local clist indices
+    sub = build_chunked_image(qv, sc, offsets, lc=32, lo=2, hi=4, pad_chunks=6)
+    assert sub["rows"].shape == (6, 32, d)
+    np.testing.assert_array_equal(sub["clist"], [0, 0, 0, 1, -1, -1])
+    np.testing.assert_array_equal(
+        sub["pos"][:3].reshape(-1)[:67], np.arange(3, 70)
+    )
+    assert (sub["pos"][4:] == -1).all()

@@ -95,6 +95,37 @@ def test_k_exceeds_candidates(skewed):
     assert (ids[0, n_real:] == -1).all()
 
 
+def test_budget_buckets_pow2_grouping():
+    from clip_retrieval_tpu.index.ivfpq import _budget_buckets
+
+    totals = np.array([3, 8, 9, 1000, 100_000, 0])
+    buckets = _budget_buckets(totals, 8)
+    assert set(buckets) == {8, 16, 1024, 131072}
+    np.testing.assert_array_equal(buckets[8], [0, 1, 5])
+    np.testing.assert_array_equal(buckets[16], [2])
+    np.testing.assert_array_equal(buckets[1024], [3])
+    np.testing.assert_array_equal(buckets[131072], [4])
+
+
+def test_mixed_batch_bucket_dispatch_matches_host(skewed):
+    """A batch mixing giant-list queries with tiny-list queries lands in
+    different budget buckets; results must still match the host scan
+    exactly, in the caller's original query order."""
+    sizes = skewed.list_sizes()
+    small = np.where((sizes > 0) & (sizes < 60))[0]
+    # interleave: giant, small, giant, small...
+    q = np.stack(
+        [
+            skewed.coarse_centroids[0 if i % 2 == 0 else small[i % len(small)]]
+            for i in range(10)
+        ]
+    )
+    v_dev, i_dev = skewed._search_device(q, 20, nprobe=2)
+    v_host, i_host = skewed._search_host(q, 20, nprobe=2)
+    np.testing.assert_array_equal(i_dev, i_host)
+    np.testing.assert_allclose(v_dev, v_host, rtol=2e-4, atol=2e-4)
+
+
 def test_reconstruct_unknown_id_raises(skewed):
     with pytest.raises(KeyError):
         skewed.reconstruct_batch(np.array([0]))  # ids start at 5
