@@ -30,7 +30,8 @@ class IndexParams:
         if self.kind == "flat_int8":
             return "Flat8"
         if self.kind == "ivf_int8":
-            return f"IVF{self.nlist},Flat8"
+            key = f"IVF{self.nlist},Flat8"
+            return key + ",RFlat" if self.use_refine else key
         key = f"IVF{self.nlist},PQ{self.m}x8"
         if self.use_opq:
             key = f"OPQ{self.m},{key}"
@@ -56,9 +57,15 @@ def parse_index_key(key: str, d: int) -> IndexParams:
         return IndexParams(kind="flat")
     if key.lower() in ("flat8", "flatint8", "flat_int8"):
         return IndexParams(kind="flat_int8")
-    m_ivf8 = re.fullmatch(r"IVF(\d+),?(Flat8|INT8)", key, re.I)
+    m_ivf8 = re.fullmatch(
+        r"IVF(\d+),?(Flat8|INT8)(,?(RFlat|Refine))?", key, re.I
+    )
     if m_ivf8:
-        return IndexParams(kind="ivf_int8", nlist=int(m_ivf8.group(1)))
+        return IndexParams(
+            kind="ivf_int8",
+            nlist=int(m_ivf8.group(1)),
+            use_refine=m_ivf8.group(3) is not None,
+        )
     use_opq = False
     use_refine = False
     nlist = m = None

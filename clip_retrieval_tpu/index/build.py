@@ -143,7 +143,7 @@ def build_index_from_shards(
         for start, block in shards.iter_chunks():
             x[start : start + block.shape[0]] = block
         return IVFInt8Index.from_vectors(
-            x, nlist=params.nlist, nprobe=nprobe, seed=seed
+            x, nlist=params.nlist, nprobe=nprobe, seed=seed, refine=refine
         )
 
     if params.kind == "flat_int8":

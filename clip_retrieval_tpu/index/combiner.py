@@ -20,6 +20,52 @@ import numpy as np
 from .ivfpq import IVFPQIndex
 
 
+def _merge_refine(indices, ids, total: int, d: int, scratch):
+    """Merge the exact re-rank stores when every shard carries one and the
+    ids partition 0..total-1 (refine rows are indexed by id); otherwise the
+    merged index degrades to scan-only with a warning, never silently.
+    Shared by the ivfpq and ivf_int8 combiners."""
+    refine = None
+    have_refine = [ix.refine_vectors is not None for ix in indices]
+    if any(have_refine) and not all(have_refine):
+        print(
+            f"WARNING: only {sum(have_refine)}/{len(indices)} shards carry "
+            "an exact re-rank store — dropping the refine tier from the "
+            "combined index (recall falls back to the raw scan)"
+        )
+    if all(have_refine):
+        # refine rows are indexed by id; mergeable iff every shard's ids
+        # are a contiguous range (id = shard offset + local build row,
+        # which is what build.py emits) and the ranges tile 0..total-1
+        shard_ranges = []
+        ok = True
+        for ix in indices:
+            sids = np.sort(np.asarray(ix.list_ids))
+            if sids.size and not np.array_equal(
+                sids, np.arange(sids[0], sids[0] + sids.size)
+            ):
+                ok = False
+                break
+            shard_ranges.append((int(sids[0]) if sids.size else 0, sids.size))
+        if ok and ids.min() >= 0 and ids.max() == total - 1 and len(
+            np.unique(ids)
+        ) == total:
+            from .build import scratch_memmap
+
+            # disk-backed: the merged store is ~total·d·2 bytes (100 GB at
+            # the 100M×512 tier) and must not live in RAM (same contract as
+            # build.py's refine path)
+            refine = scratch_memmap((total, d), np.float16, scratch)
+            for ix, (lo, n) in zip(indices, shard_ranges):
+                refine[lo : lo + n] = np.asarray(ix.refine_vectors)
+        else:
+            print(
+                "WARNING: shard ids do not tile the merged range; "
+                "dropping the refine tier from the combined index"
+            )
+    return refine
+
+
 def combine_ivfpq(
     indices: list[IVFPQIndex], scratch_dir: str | None = None
 ) -> IVFPQIndex:
@@ -52,45 +98,7 @@ def combine_ivfpq(
                 ids[c : c + n] = ix.list_ids[s:e]
                 codes[c : c + n] = ix.list_codes[s:e]
                 cursor[li] += n
-    # merge the exact re-rank stores when every shard carries one and the
-    # ids partition 0..total-1 (refine rows are indexed by id); otherwise
-    # the merged index degrades to ADC-only with a warning, never silently
-    refine = None
-    have_refine = [ix.refine_vectors is not None for ix in indices]
-    if any(have_refine) and not all(have_refine):
-        print(
-            f"WARNING: only {sum(have_refine)}/{len(indices)} shards carry "
-            "an exact re-rank store — dropping the refine tier from the "
-            "combined index (recall falls back to raw ADC)"
-        )
-    if all(have_refine):
-        # refine rows are indexed by id; mergeable iff every shard's ids
-        # are a contiguous range (id = shard offset + local build row,
-        # which is what build.py emits) and the ranges tile 0..total-1
-        shard_ranges = []
-        ok = True
-        for ix in indices:
-            sids = np.sort(np.asarray(ix.list_ids))
-            if sids.size and not np.array_equal(
-                sids, np.arange(sids[0], sids[0] + sids.size)
-            ):
-                ok = False
-                break
-            shard_ranges.append((int(sids[0]) if sids.size else 0, sids.size))
-        if ok and ids.min() >= 0 and ids.max() == total - 1 and len(
-            np.unique(ids)
-        ) == total:
-            # disk-backed: the merged store is ~total·d·2 bytes (100 GB at
-            # the 100M×512 tier) and must not live in RAM (same contract as
-            # build.py's refine path)
-            refine = scratch_memmap((total, base.d), np.float16, scratch)
-            for ix, (lo, n) in zip(indices, shard_ranges):
-                refine[lo : lo + n] = np.asarray(ix.refine_vectors)
-        else:
-            print(
-                "WARNING: shard ids do not tile the merged range; "
-                "dropping the refine tier from the combined index"
-            )
+    refine = _merge_refine(indices, ids, total, base.d, scratch)
     return IVFPQIndex(
         d=base.d,
         coarse_centroids=base.coarse_centroids,
@@ -141,9 +149,11 @@ def combine_ivf_int8(indices, scratch_dir: str | None = None):
                 q[c : c + m] = ix.q_vectors[s:e]
                 scales[c : c + m] = ix.scales[s:e]
                 cursor[li] += m
+    refine = _merge_refine(indices, ids, total, base.d, scratch)
     return IVFInt8Index(
         base.d, base.coarse_centroids, offsets, ids, q, scales,
-        nprobe=base.nprobe,
+        nprobe=base.nprobe, refine_vectors=refine,
+        rerank_factor=base.rerank_factor,
     )
 
 

@@ -230,6 +230,8 @@ class IVFInt8Index:
         scales: np.ndarray,  # (N,) f32
         nprobe: int = 64,
         exact_topk: bool = False,
+        refine_vectors: np.ndarray | None = None,
+        rerank_factor: int = 4,
     ):
         self.d = d
         self.coarse_centroids = np.asarray(coarse_centroids, np.float32)
@@ -239,6 +241,11 @@ class IVFInt8Index:
         self.scales = scales
         self.nprobe = nprobe  # = probe_lists U (batch-shared)
         self.exact_topk = exact_topk
+        # optional exact re-ranking over original fp16 rows (id order) —
+        # the recall path to ≥0.95: int8 scan selects rerank_factor·k
+        # candidates, the true vectors re-score them (see rerank.py)
+        self.refine_vectors = refine_vectors
+        self.rerank_factor = rerank_factor
         self._device = None
         self._chunk_counts = None
         self._id_to_pos = None
@@ -264,6 +271,7 @@ class IVFInt8Index:
         nprobe: int = 64,
         kmeans_niter: int = 20,
         seed: int = 0,
+        refine: bool = False,
     ) -> "IVFInt8Index":
         from ..ops import kmeans as km
 
@@ -300,6 +308,23 @@ class IVFInt8Index:
             qb, sb = quantize_rows(np.asarray(x[sel], np.float32))
             q[i : i + len(sel)] = qb
             s[i : i + len(sel)] = sb
+        refine_vectors = None
+        if refine:
+            # exact re-rank store: rows in id order (ids here ARE the
+            # original row indices), disk-backed for memmap corpora
+            if is_disk:
+                from .build import scratch_memmap
+
+                scratch = (
+                    [os.path.dirname(x.filename)] if x.filename else []
+                )
+                refine_vectors = scratch_memmap((n, d), np.float16, scratch)
+                for i in range(0, n, chunk):
+                    refine_vectors[i : i + chunk] = np.asarray(
+                        x[i : i + chunk], np.float16
+                    )
+            else:
+                refine_vectors = x.astype(np.float16)
         return cls(
             d,
             np.asarray(coarse),
@@ -308,6 +333,7 @@ class IVFInt8Index:
             q,
             s,
             nprobe=nprobe,
+            refine_vectors=refine_vectors,
         )
 
     # -- device image -------------------------------------------------------
@@ -362,6 +388,14 @@ class IVFInt8Index:
     # -- search ------------------------------------------------------------
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self.refine_vectors is not None and self.rerank_factor > 1:
+            from .rerank import exact_rerank
+
+            _, ids = self._search_int8(queries, k * self.rerank_factor)
+            return exact_rerank(self.refine_vectors, queries, ids, k)
+        return self._search_int8(queries, k)
+
+    def _search_int8(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         if self.ntotal == 0:
             b = np.asarray(queries).shape[0]
             return (
@@ -452,6 +486,8 @@ class IVFInt8Index:
                     "metric": "ip",
                     "nlist": self.nlist,
                     "nprobe": self.nprobe,
+                    "has_refine": self.refine_vectors is not None,
+                    "rerank_factor": self.rerank_factor,
                 },
                 f,
             )
@@ -460,12 +496,22 @@ class IVFInt8Index:
         np.save(os.path.join(path, "list_ids.npy"), np.asarray(self.list_ids))
         np.save(os.path.join(path, "q_vectors.npy"), np.asarray(self.q_vectors))
         np.save(os.path.join(path, "scales.npy"), np.asarray(self.scales))
+        if self.refine_vectors is not None:
+            np.save(
+                os.path.join(path, "refine_vectors.npy"),
+                np.asarray(self.refine_vectors, np.float16),
+            )
 
     @classmethod
     def load(cls, path: str, mmap: bool = True) -> "IVFInt8Index":
         with open(os.path.join(path, "header.json")) as f:
             h = json.load(f)
         mm = "r" if mmap else None
+        refine = None
+        if h.get("has_refine"):
+            refine = np.load(
+                os.path.join(path, "refine_vectors.npy"), mmap_mode=mm
+            )
         return cls(
             h["d"],
             np.load(os.path.join(path, "coarse_centroids.npy")),
@@ -474,4 +520,6 @@ class IVFInt8Index:
             np.load(os.path.join(path, "q_vectors.npy"), mmap_mode=mm),
             np.load(os.path.join(path, "scales.npy")),
             nprobe=h.get("nprobe", 64),
+            refine_vectors=refine,
+            rerank_factor=h.get("rerank_factor", 4),
         )

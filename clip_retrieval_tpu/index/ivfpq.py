@@ -364,31 +364,12 @@ class IVFPQIndex:
         q = np.asarray(q, np.float32)
         return q if self.rotation is None else q @ self.rotation
 
-    def _rerank(self, queries: np.ndarray, vals: np.ndarray,
-                ids: np.ndarray, k: int):
-        """Exact re-score of ADC candidates against the stored fp16 rows."""
-        q = np.asarray(queries, np.float32)
-        out_vals = np.full((q.shape[0], k), -np.inf, np.float32)
-        out_ids = np.full((q.shape[0], k), -1, np.int64)
-        for b in range(q.shape[0]):
-            cand = ids[b][ids[b] >= 0]
-            if cand.size == 0:
-                continue
-            vecs = np.asarray(self.refine_vectors[cand], np.float32)
-            sc = vecs @ q[b]
-            kk = min(k, sc.size)
-            top = np.argpartition(-sc, kk - 1)[:kk]
-            order = top[np.argsort(-sc[top])]
-            out_vals[b, :kk] = sc[order]
-            out_ids[b, :kk] = cand[order]
-        return out_vals, out_ids
-
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         if self.refine_vectors is not None and self.rerank_factor > 1:
-            vals, ids = self._search_adc(
-                queries, k * self.rerank_factor
-            )
-            return self._rerank(queries, vals, ids, k)
+            from .rerank import exact_rerank
+
+            _, ids = self._search_adc(queries, k * self.rerank_factor)
+            return exact_rerank(self.refine_vectors, queries, ids, k)
         return self._search_adc(queries, k)
 
     def _search_adc(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -233,7 +233,9 @@ class ShardedIVFInt8Index(IVFInt8Index):
 
     # -- search --------------------------------------------------------------
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _search_int8(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        # the refine/rerank wrapper lives in the base class search(); this
+        # override only swaps the scan for the mesh-sharded one
         if self.ntotal == 0:
             b = np.asarray(queries).shape[0]
             return (
@@ -304,5 +306,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
             ivf.scales,
             nprobe=ivf.nprobe,
             exact_topk=ivf.exact_topk,
+            refine_vectors=ivf.refine_vectors,
+            rerank_factor=ivf.rerank_factor,
             mesh=mesh,
         )

@@ -220,3 +220,73 @@ def test_build_chunked_image_shard_range_and_padding():
         sub["pos"][:3].reshape(-1)[:67], np.arange(3, 70)
     )
     assert (sub["pos"][4:] == -1).all()
+
+
+def test_refine_lifts_recall_and_roundtrips(tmp_path):
+    """The int8 tiers' recall path to >=0.95 (VERDICT r2 weak #6): exact
+    re-rank over stored fp16 rows, persisted through save/load, inherited
+    by the sharded tier."""
+    from clip_retrieval_tpu.index.sharded_ivf import ShardedIVFInt8Index
+
+    rng = np.random.default_rng(9)
+    d, n = 48, 6000
+    x = _unit(rng.normal(size=(n, d)).astype(np.float32))
+    q = _unit(
+        x[:25] + 0.02 * rng.normal(size=(25, d)).astype(np.float32)
+    )
+    exact = FlatIndex(d)
+    exact.add(x)
+    _, gt = exact.search(q, 10)
+
+    def recall(ids):
+        return np.mean(
+            [len(set(gt[i]) & set(ids[i])) / 10 for i in range(len(q))]
+        )
+
+    # isotropic noise probes poorly at low nprobe — exactly the regime
+    # where refine must rescue recall
+    plain = IVFInt8Index.from_vectors(x, nlist=128, nprobe=16, seed=0)
+    _, ids_plain = plain.search(q, 10)
+    refined = IVFInt8Index.from_vectors(
+        x, nlist=128, nprobe=16, seed=0, refine=True
+    )
+    refined.rerank_factor = 8
+    _, ids_ref = refined.search(q, 10)
+    r_plain, r_ref = recall(ids_plain), recall(ids_ref)
+    assert r_ref >= r_plain - 1e-9
+    assert r_ref >= 0.95, (r_plain, r_ref)
+
+    # persistence round-trip keeps the refine store
+    path = tmp_path / "ix"
+    refined.save(str(path))
+    back = IVFInt8Index.load(str(path))
+    assert back.refine_vectors is not None
+    back.rerank_factor = 8
+    _, ids_back = back.search(q, 10)
+    np.testing.assert_array_equal(ids_back, ids_ref)
+
+    # sharded tier inherits the refine wrapper
+    sharded = ShardedIVFInt8Index.from_index(refined)
+    _, ids_sh = sharded.search(q, 10)
+    assert recall(ids_sh) >= 0.95
+
+    # combined shards keep refine when ids tile the merged range
+    from clip_retrieval_tpu.index.combiner import combine_ivf_int8
+
+    a = IVFInt8Index.from_vectors(x[:3000], nlist=64, nprobe=16, refine=True)
+    b = IVFInt8Index.from_vectors(x[3000:], nlist=64, nprobe=16, refine=True)
+    b.coarse_centroids = a.coarse_centroids  # merge requires shared training
+    b.list_ids = b.list_ids + 3000
+    merged = combine_ivf_int8([a, b])
+    assert merged.refine_vectors is not None
+    assert merged.refine_vectors.shape == (n, d)
+
+
+def test_index_key_roundtrip_ivf_int8_refine():
+    from clip_retrieval_tpu.index.autotune import parse_index_key
+
+    p = parse_index_key("IVF512,Flat8,RFlat", 64)
+    assert p.kind == "ivf_int8" and p.nlist == 512 and p.use_refine
+    assert p.index_key == "IVF512,Flat8,RFlat"
+    p2 = parse_index_key("IVF512,Flat8", 64)
+    assert not p2.use_refine and p2.index_key == "IVF512,Flat8"
