@@ -1,0 +1,178 @@
+"""10M-vector end-to-end index benchmark: autotuned build → calibrate →
+measure (QPS, recall@10) for device and host search paths.
+
+The at-scale evidence the reference claims with autofaiss ("hundreds of
+millions of embeddings in a few hours", `/root/reference/README.md:289`;
+BASELINE.md north star: ≥10k QPS @ recall@10 ≥0.95 on 100M).  Corpus is
+synthetic **low-intrinsic-dimension** embeddings (unit rows spanning an
+r-dim subspace of R^d plus small ambient noise) — CLIP embeddings have low
+intrinsic dim, and isotropic noise both under-states IVF probe recall and
+over-states k-means quality.
+
+    python benchmarks/bench_index_10m.py [--n 10000000] [--intrinsic 64]
+"""
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
+)
+
+
+def make_corpus(folder, n, d, intrinsic, seed=0, shard_rows=1 << 21):
+    """Unit-norm rows x = unit(z @ W + eps), z ~ N(0, I_r): intrinsic dim r
+    inside ambient dim d.  Written as fp16 npy shards (the pipeline's
+    on-disk contract) without materializing the corpus in RAM."""
+    rng = np.random.default_rng(seed)
+    w = np.linalg.qr(rng.normal(size=(d, d)).astype(np.float32))[0][
+        :intrinsic
+    ]  # (r, d) orthonormal rows
+    t0 = time.time()
+    for si, start in enumerate(range(0, n, shard_rows)):
+        rows = min(shard_rows, n - start)
+        z = rng.normal(size=(rows, intrinsic)).astype(np.float32)
+        x = z @ w
+        x += 0.05 * rng.normal(size=(rows, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        np.save(
+            os.path.join(folder, f"emb_{si:04d}.npy"), x.astype(np.float16)
+        )
+        print(
+            f"  corpus shard {si}: rows {start}..{start + rows} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    # held-out queries from the same subspace
+    zq = rng.normal(size=(256, intrinsic)).astype(np.float32)
+    q = zq @ w + 0.05 * rng.normal(size=(256, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q.astype(np.float32)
+
+
+def bench_fn(fn, iters, warmup=2):
+    for _ in range(warmup):
+        fn()
+    t0 = time.time()
+    for _ in range(iters):
+        fn()
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=512)
+    ap.add_argument("--intrinsic", type=int, default=64)
+    ap.add_argument("--budget", default="4G")
+    ap.add_argument("--index_key", default=None)
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+
+    from clip_retrieval_tpu.index.autotune import select_params
+    from clip_retrieval_tpu.index.build import (
+        EmbeddingShards,
+        _exact_ground_truth,
+        _recall_vs_gt,
+        build_index_from_shards,
+        calibrate_nprobe,
+    )
+
+    platform = jax.devices()[0].platform
+    folder = tempfile.mkdtemp(prefix="bench10m_")
+    print(f"generating {args.n}x{args.d} corpus (intrinsic dim "
+          f"{args.intrinsic}) in {folder}", flush=True)
+    t0 = time.time()
+    queries = make_corpus(folder, args.n, args.d, args.intrinsic)
+    gen_s = time.time() - t0
+
+    shards = EmbeddingShards(folder)
+    params = select_params(args.n, args.d, args.budget, args.index_key)
+    print(f"autotune({args.budget}) -> {params.index_key} "
+          f"(refine={params.use_refine})", flush=True)
+
+    t0 = time.time()
+    timings = {}
+    index = build_index_from_shards(
+        shards, params, timings=timings, scratch_dir=folder
+    )
+    build_s = time.time() - t0
+    print(f"build done in {build_s:.0f}s ({timings})", flush=True)
+
+    # exact ground truth (one brute-force pass, shared by calibration)
+    t0 = time.time()
+    gt = _exact_ground_truth(shards, queries, 10)
+    print(f"ground truth in {time.time() - t0:.0f}s", flush=True)
+
+    cal = calibrate_nprobe(
+        index, shards, queries=queries[:100], gt=gt[:100], max_nprobe=512
+    )
+    print(f"calibrated: {cal}", flush=True)
+
+    # recall@10 at the calibrated nprobe over all 256 held-out queries
+    got = np.concatenate(
+        [index.search(queries[i : i + 1], 10)[1] for i in range(64)]
+    )
+    recall_b1 = _recall_vs_gt(gt[:64], got)
+    _, got_b = index.search(queries, 10)
+    recall_batch = _recall_vs_gt(gt, got_b)
+
+    results = {
+        "metric": "index_10m_end_to_end",
+        "n": args.n,
+        "d": args.d,
+        "intrinsic_dim": args.intrinsic,
+        "budget": args.budget,
+        "index_key": params.index_key,
+        "corpus_gen_s": round(gen_s, 1),
+        "build_s": round(build_s, 1),
+        "train_s": timings.get("train_s"),
+        "encode_s": timings.get("encode_s"),
+        "nprobe_calibration": cal,
+        "recall@10_b1": round(recall_b1, 4),
+        "recall@10_b256": round(recall_batch, 4),
+        "platform": platform,
+        "qps": [],
+    }
+
+    has_device = hasattr(index, "_search_device")
+    for B in (1, 16, 64):
+        q = queries[:B]
+        iters = 20 if B <= 16 else 10
+        row = {"batch": B}
+        t = bench_fn(lambda: index.search(q, 10), iters)
+        row["search_ms_per_query"] = round(t / B * 1e3, 3)
+        row["search_qps"] = round(B / t, 1)
+        if has_device and index.refine_vectors is not None:
+            # split out the scan vs the host rerank read
+            t_scan = bench_fn(
+                lambda: index._search_adc(q, 10 * index.rerank_factor), iters
+            )
+            row["adc_scan_qps"] = round(B / t_scan, 1)
+        if has_device:
+            t_host = bench_fn(
+                lambda: index._search_host(q, 10, index.nprobe), 3
+            )
+            row["host_cpp_qps"] = round(B / t_host, 1)
+        results["qps"].append(row)
+        print(json.dumps(row), flush=True)
+
+    out = args.out or os.path.join(
+        os.path.dirname(__file__), f"index_10m_{platform}.json"
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({k: v for k, v in results.items() if k != "qps"}))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -135,7 +135,10 @@ def select_params(
     while nlist > 64 and n / nlist < 39:  # faiss min points per centroid
         nlist //= 2
     per_vec = (budget - nlist * d * 4) / max(n, 1) - 8
-    m = _pick_m(d, per_vec)
+    # with the refine tier on (below), recall is recovered by the exact
+    # re-rank, so oversized codes only slow the scan: cap m at 64 bytes —
+    # a generous budget must not autotune into a 4× slower ADC pass
+    m = _pick_m(d, min(per_vec, 64.0))
     # default-on refine: ADC alone rarely clears recall@10 ≥ 0.95 (the
     # north-star, BASELINE.md); the exact re-rank store is fp16 on DISK
     # and mmap'd (rerank_factor·k row reads per query), so it does not

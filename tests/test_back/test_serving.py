@@ -172,6 +172,84 @@ def test_knn_image_query_and_base64_meta(served):
     assert "image" in meta[0]["metadata"]
 
 
+def test_knn_image_url_query(served):
+    """The image-URL query modality (reference `clip_back.py:157-169`;
+    README treats URL queries as first-class): a local http.server serves
+    the jpeg so the test runs offline, and the DOWNLOAD_TIME histogram
+    must record the fetch."""
+    import http.server
+    import threading
+
+    from PIL import Image
+
+    from clip_retrieval_tpu.back import metrics as M
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 40), (230, 40, 20)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/cat.jpg":
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Length", str(len(jpeg)))
+                self.end_headers()
+                self.wfile.write(jpeg)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def download_count():
+        for metric in M.DOWNLOAD_TIME.collect():
+            for s in metric.samples:
+                if s.name.endswith("_count"):
+                    return s.value
+        return 0.0
+
+    try:
+        before = download_count()
+        r = request(
+            served["app"],
+            "POST",
+            "/knn-service",
+            {
+                "image_url": f"http://127.0.0.1:{port}/cat.jpg",
+                "modality": "image",
+                "num_images": 4,
+                "indice_name": "test_index",
+            },
+        )
+        assert r["status"].startswith("200"), r["body"]
+        results = r["json"]
+        assert len(results) == 4
+        assert all(np.isfinite(item["similarity"]) for item in results)
+        assert download_count() == before + 1
+        # a dead URL surfaces as a client error, not a 500 crash
+        r_bad = request(
+            served["app"],
+            "POST",
+            "/knn-service",
+            {
+                "image_url": f"http://127.0.0.1:{port}/missing.jpg",
+                "modality": "image",
+                "num_images": 4,
+                "indice_name": "test_index",
+            },
+        )
+        assert not r_bad["status"].startswith("200")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_metadata_endpoint(served):
     r = request(
         served["app"],
