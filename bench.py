@@ -68,6 +68,24 @@ def main():
     _ = np.asarray(out)  # sync incl. result readback
     sustained = batch * n_iters / (time.perf_counter() - t0)
 
+    # --- raw relay h2d bandwidth (attribution for tunnel_fed variance) ----
+    # the relay's bandwidth swings 2x+ between runs (r01→r02 tunnel_fed
+    # moved 283.7→215.5 with identical feed code; benchmarks/
+    # tunnel_feed_tpu.json measured 14-29 MB/s across reps seconds apart),
+    # so the harness-limited number is only interpretable next to the
+    # link rate measured in the same run
+    @jax.jit
+    def _touch(x):  # forces the h2d transfer; readback is 4 bytes
+        return jnp.sum(x, dtype=jnp.int32)
+
+    np.asarray(_touch(dev_batches[0]))  # compile
+    bytes_per_batch = host_batches[0].nbytes
+    t0 = time.perf_counter()
+    for i in range(3):
+        np.asarray(_touch(jax.device_put(host_batches[i % 4].copy())))
+    relay_mbps = bytes_per_batch * 3 / (time.perf_counter() - t0) / 1e6
+    relay_bound = relay_mbps * 1e6 / (cfg.image_size * cfg.image_size * 3)
+
     # --- relay-fed end-to-end (staged transfers, harness-limited) ---------
     import queue
     import threading
@@ -110,9 +128,14 @@ def main():
                 "vs_baseline": round(sustained / baseline, 3),
                 "mfu": round(sustained * flops_per_img / peak, 3),
                 "tunnel_fed_value": round(tunnel_fed, 1),
+                "relay_h2d_MBps": round(relay_mbps, 1),
+                "relay_bound_img_s": round(relay_bound, 1),
                 "note": "value=sustained on-chip embed rate (host feed needs "
                 "~86MB/s, below any real host's PCIe); tunnel_fed_value="
-                "through this harness's ~50MB/s loopback relay; mfu vs "
+                "through this harness's loopback relay, whose bandwidth "
+                "swings 2x+ between runs — relay_h2d_MBps is the link rate "
+                "measured in THIS run and relay_bound_img_s the ceiling it "
+                "implies (see benchmarks/tunnel_feed_tpu.json); mfu vs "
                 "197 TFLOP/s v5e bf16 peak; attn=auto (bf16-logits XLA, "
                 "see benchmarks/attn_tpu.json)",
             }
