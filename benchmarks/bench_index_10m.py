@@ -73,6 +73,15 @@ def main():
     ap.add_argument("--budget", default="4G")
     ap.add_argument("--index_key", default=None)
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument(
+        "--save_index", default="",
+        help="also save the built index (image.index layout) here so the "
+        "serving bench can load it (--index_folder)",
+    )
+    ap.add_argument(
+        "--corpus", default="",
+        help="reuse an existing shard folder instead of generating",
+    )
     args = ap.parse_args()
 
     import jax
@@ -87,12 +96,22 @@ def main():
     )
 
     platform = jax.devices()[0].platform
-    folder = tempfile.mkdtemp(prefix="bench10m_")
-    print(f"generating {args.n}x{args.d} corpus (intrinsic dim "
-          f"{args.intrinsic}) in {folder}", flush=True)
-    t0 = time.time()
-    queries = make_corpus(folder, args.n, args.d, args.intrinsic)
-    gen_s = time.time() - t0
+    if args.corpus:
+        folder = args.corpus
+        print(f"reusing corpus in {folder}", flush=True)
+        t0 = time.time()
+        queries = np.load(os.path.join(folder, "queries.npz"))["q"]
+        gen_s = 0.0
+    else:
+        folder = tempfile.mkdtemp(prefix="bench10m_")
+        print(f"generating {args.n}x{args.d} corpus (intrinsic dim "
+              f"{args.intrinsic}) in {folder}", flush=True)
+        t0 = time.time()
+        queries = make_corpus(folder, args.n, args.d, args.intrinsic)
+        # .npz: EmbeddingShards globs *.npy, the query file must not look
+        # like a corpus shard
+        np.savez(os.path.join(folder, "queries.npz"), q=queries)
+        gen_s = time.time() - t0
 
     shards = EmbeddingShards(folder)
     params = select_params(args.n, args.d, args.budget, args.index_key)
@@ -106,6 +125,26 @@ def main():
     )
     build_s = time.time() - t0
     print(f"build done in {build_s:.0f}s ({timings})", flush=True)
+
+    if args.save_index:
+        import pandas as pd
+
+        t0 = time.time()
+        idx_dir = os.path.join(args.save_index, "image.index")
+        os.makedirs(idx_dir, exist_ok=True)
+        index.save(idx_dir)
+        meta_dir = os.path.join(args.save_index, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        shard = 1 << 21
+        for si, start in enumerate(range(0, args.n, shard)):
+            rows = min(shard, args.n - start)
+            pd.DataFrame(
+                {"url": [f"http://x/{start + i}" for i in range(rows)]}
+            ).to_parquet(
+                os.path.join(meta_dir, f"metadata_{si:04d}.parquet")
+            )
+        print(f"saved index to {args.save_index} "
+              f"({time.time() - t0:.0f}s)", flush=True)
 
     # exact ground truth (one brute-force pass, shared by calibration)
     t0 = time.time()

@@ -114,13 +114,32 @@ def main():
     ap.add_argument("--seconds", type=int, default=30)
     ap.add_argument("--port", type=int, default=18123)
     ap.add_argument("--num_images", type=int, default=40)
+    ap.add_argument(
+        "--index_folder", default="",
+        help="serve an EXISTING index dir (e.g. the 10M build) instead of "
+        "building a synthetic corpus",
+    )
+    ap.add_argument("--out_suffix", default="")
     args = ap.parse_args()
 
     import tempfile
 
     root = tempfile.mkdtemp(prefix="bench_serving_")
-    print("building corpus + index...", flush=True)
-    build_corpus(root, args.n)
+    if args.index_folder:
+        print(f"serving existing index {args.index_folder}", flush=True)
+        with open(os.path.join(root, "indices_paths.json"), "w") as f:
+            json.dump({"bench": os.path.abspath(args.index_folder)}, f)
+        try:
+            hdr = json.load(
+                open(os.path.join(args.index_folder, "image.index",
+                                  "header.json"))
+            )
+            args.n = hdr.get("ntotal", args.n)
+        except OSError:
+            pass
+    else:
+        print("building corpus + index...", flush=True)
+        build_corpus(root, args.n)
 
     server = subprocess.Popen(
         [
@@ -194,7 +213,8 @@ def main():
         }
         print(json.dumps(row), flush=True)
         out = os.path.join(
-            os.path.dirname(__file__), f"serving_http_{platform}.json"
+            os.path.dirname(__file__),
+            f"serving_http_{platform}{args.out_suffix}.json",
         )
         with open(out, "w") as f:
             json.dump([row], f, indent=1)
