@@ -41,10 +41,16 @@ class ParquetMetadataProvider:
                 c: self.metadata_df[c].to_numpy() for c in available
             }
         idx = np.asarray(list(ids), np.int64)
-        taken = [self._np_cols[c][idx] for c in cols]
+        n = len(self.metadata_df)
+        valid = (idx >= 0) & (idx < n)
+        if not cols:
+            return [{} for _ in idx]
+        safe = np.where(valid, idx, 0)
+        taken = [self._np_cols[c][safe] for c in cols]
         return [
-            dict(zip(cols, vals)) for vals in zip(*taken)
-        ] if cols else [{} for _ in idx]
+            dict(zip(cols, vals)) if ok else {}
+            for ok, vals in zip(valid, zip(*taken))
+        ]
 
 
 def parquet_to_hdf5(
@@ -117,6 +123,10 @@ class Hdf5MetadataProvider:
         idx = np.asarray(list(ids), np.int64)
         if idx.size == 0:
             return items
+        nrows = self.ds[cols[0]].shape[0] if cols else 0
+        bad = (idx < 0) | (idx >= nrows)
+        if bad.any():  # out-of-range ids stay {} at their position
+            idx = np.where(bad, 0, idx)
         # h5py fancy selection needs increasing unique indices; one sorted
         # bulk read per column replaces a per-id dataset read (~100× under
         # the IVF-reordered serving pattern, where ids are near-consecutive)
@@ -131,7 +141,8 @@ class Hdf5MetadataProvider:
             else:
                 vals = dset[uniq][inverse]
             for i in range(idx.size):
-                items[i][k] = vals[i]
+                if not bad[i]:
+                    items[i][k] = vals[i]
         return items
 
 
@@ -168,12 +179,16 @@ class ArrowMetadataProvider:
         names = self.table.schema.names
         cols = names if cols is None else [c for c in names if c in set(cols)]
         idx = np.asarray(list(ids), np.int64)
-        out: list[dict[str, Any] | None] = [None] * idx.size
+        # out-of-range ids yield {} at their position — callers zip results
+        # with the requested ids, so the list must stay aligned (and a bad
+        # id in a /metadata POST must not 500 the whole batch)
+        out: list[dict[str, Any]] = [{} for _ in range(idx.size)]
         if idx.size == 0:
             return out
+        valid = (idx >= 0) & (idx < self._starts[-1])
         batch_of = np.searchsorted(self._starts, idx, side="right") - 1
-        for b in np.unique(batch_of):
-            pos = np.nonzero(batch_of == b)[0]
+        for b in np.unique(batch_of[valid]):
+            pos = np.nonzero(valid & (batch_of == b))[0]
             local = idx[pos] - self._starts[b]
             rows = (
                 self._batches[b].select(cols).take(local).to_pylist()

@@ -192,3 +192,52 @@ def test_parquet_to_arrow_rotation_failure_keeps_complete_files(
     with pa.memory_map(str(out / "0.arrow")) as src:
         table = pa.ipc.open_file(src).read_all()
     assert table.num_rows == 2
+
+
+def test_providers_align_and_blank_invalid_ids(meta_folder, tmp_path):
+    """Out-of-range ids must yield {} AT THEIR POSITION: the /metadata
+    endpoint zips results with the requested ids, so dropping rows would
+    misattribute metadata and raising would 500 the whole batch."""
+    h5 = str(tmp_path / "meta2.hdf5")
+    parquet_to_hdf5(meta_folder, h5, ["caption", "url"])
+    arrow_dir = str(tmp_path / "arrow2")
+    parquet_to_arrow(meta_folder, arrow_dir, ["caption", "url"])
+    providers = [
+        ParquetMetadataProvider(meta_folder),
+        Hdf5MetadataProvider(h5),
+        ArrowMetadataProvider(arrow_dir),
+    ]
+    def cap(o):  # hdf5 returns bytes (meta_to_dict decodes at serving)
+        c = o["caption"]
+        return c.decode() if isinstance(c, bytes) else c
+
+    for prov in providers:
+        out = prov.get([3, 10**9, -1, 0], ["caption", "url"])
+        assert len(out) == 4, type(prov).__name__
+        assert cap(out[0]) == "cap 0-3", type(prov).__name__
+        assert out[1] == {}, type(prov).__name__
+        assert out[2] == {}, type(prov).__name__
+        assert cap(out[3]) == "cap 0-0", type(prov).__name__
+
+
+def test_providers_duplicate_and_unsorted_ids(meta_folder, tmp_path):
+    """The serving path passes ids in result order (arbitrary, possibly
+    duplicated); bulk-read optimizations must preserve order."""
+    h5 = str(tmp_path / "meta3.hdf5")
+    parquet_to_hdf5(meta_folder, h5, ["caption"])
+    arrow_dir = str(tmp_path / "arrow3")
+    parquet_to_arrow(meta_folder, arrow_dir, ["caption"])
+    for prov in [
+        ParquetMetadataProvider(meta_folder),
+        Hdf5MetadataProvider(h5),
+        ArrowMetadataProvider(arrow_dir),
+    ]:
+        out = prov.get([7, 2, 7, 0], ["caption"])
+        caps = [
+            o["caption"].decode() if isinstance(o["caption"], bytes)
+            else o["caption"]
+            for o in out
+        ]
+        assert caps == ["cap 1-2", "cap 0-2", "cap 1-2", "cap 0-0"], (
+            type(prov).__name__, caps
+        )
