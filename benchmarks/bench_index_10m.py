@@ -82,6 +82,10 @@ def main():
         "--corpus", default="",
         help="reuse an existing shard folder instead of generating",
     )
+    ap.add_argument(
+        "--load_index", default="",
+        help="skip the build: load a previously --save_index'd image.index",
+    )
     args = ap.parse_args()
 
     import jax
@@ -120,11 +124,18 @@ def main():
 
     t0 = time.time()
     timings = {}
-    index = build_index_from_shards(
-        shards, params, timings=timings, scratch_dir=folder
-    )
-    build_s = time.time() - t0
-    print(f"build done in {build_s:.0f}s ({timings})", flush=True)
+    if args.load_index:
+        from clip_retrieval_tpu.index.store import load_index
+
+        index = load_index(os.path.join(args.load_index, "image.index"))
+        build_s = 0.0
+        print(f"loaded index from {args.load_index}", flush=True)
+    else:
+        index = build_index_from_shards(
+            shards, params, timings=timings, scratch_dir=folder
+        )
+        build_s = time.time() - t0
+        print(f"build done in {build_s:.0f}s ({timings})", flush=True)
 
     if args.save_index:
         import pandas as pd
@@ -196,6 +207,13 @@ def main():
                 lambda: index._search_adc(q, 10 * index.rerank_factor), iters
             )
             row["adc_scan_qps"] = round(B / t_scan, 1)
+        if has_device:
+            # pipelined on-chip rate (removes this harness's ~65 ms relay
+            # RTT per dispatch, which a local host does not pay)
+            from bench_ivfpq_scan import sustained_device
+
+            t_sus = sustained_device(index, q, 10, index.nprobe, iters=20)
+            row["adc_scan_qps_sustained"] = round(B / t_sus, 1)
         if has_device:
             t_host = bench_fn(
                 lambda: index._search_host(q, 10, index.nprobe), 3
