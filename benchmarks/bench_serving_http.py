@@ -130,12 +130,10 @@ def main():
         with open(os.path.join(root, "indices_paths.json"), "w") as f:
             json.dump({"bench": os.path.abspath(args.index_folder)}, f)
         try:
-            hdr = json.load(
-                open(os.path.join(args.index_folder, "image.index",
-                                  "header.json"))
-            )
-            args.n = hdr.get("ntotal", args.n)
-        except OSError:
+            with open(os.path.join(args.index_folder, "image.index",
+                                   "header.json")) as f:
+                args.n = json.load(f).get("ntotal", args.n)
+        except (OSError, json.JSONDecodeError):  # best-effort ntotal
             pass
     else:
         print("building corpus + index...", flush=True)

@@ -27,7 +27,7 @@ class ParquetMetadataProvider:
             pd.read_parquet(p)
             for p in sorted(Path(parquet_folder).glob("*.parquet"))
         ).reset_index(drop=True)
-        self._np_cols: dict[str, np.ndarray] | None = None
+        self._np_cols: dict[str, np.ndarray] = {}
 
     def get(self, ids: Sequence[int], cols: List[str] | None = None):
         available = self.metadata_df.columns.tolist()
@@ -35,11 +35,12 @@ class ParquetMetadataProvider:
             c for c in available if c in set(cols)
         ]
         # column-wise numpy takes beat df.iloc row materialization ~20×
-        # (benchmarks/bench_metadata_fetch.py)
-        if self._np_cols is None:
-            self._np_cols = {
-                c: self.metadata_df[c].to_numpy() for c in available
-            }
+        # (benchmarks/bench_metadata_fetch.py); cached lazily per REQUESTED
+        # column — wide LAION-style sets should not pay conversion latency
+        # or a second full-width RAM copy for columns never returned
+        for c in cols:
+            if c not in self._np_cols:
+                self._np_cols[c] = self.metadata_df[c].to_numpy()
         idx = np.asarray(list(ids), np.int64)
         n = len(self.metadata_df)
         valid = (idx >= 0) & (idx < n)

@@ -56,8 +56,7 @@ from ..ops.int8mm import quantize_rows, quantize_rows_device
 _SCRATCH_ROWS = 4_000_000
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, int(n - 1).bit_length())
+from .ivfpq import _next_pow2  # one shared helper — keep copies from drifting
 
 
 def _chunk_len(ntotal: int, nlist: int) -> int:

@@ -156,6 +156,7 @@ class SlurmDistributor:
         print(f"submitted slurm job {job_id}")
         start = time.time()
         squeue_failures = 0
+        invalid_unseen = 0
         seen_running = False
         try:
             while True:
@@ -174,15 +175,25 @@ class SlurmDistributor:
                                 # PENDING jobs too).
                                 self._finish(job_id, "purged from squeue")
                                 return
-                            # never sighted: the controller does not know
-                            # this id at all — a bad id / lost state, not a
-                            # transient outage; retrying for 5 min would
-                            # only misattribute the root cause
+                            # never sighted: usually a bad id / lost
+                            # controller state — but right after sbatch a
+                            # busy/failing-over slurmctld (or a federated
+                            # origin routing to a sibling) can briefly not
+                            # resolve a job that IS real, so tolerate a
+                            # short window before concluding
+                            invalid_unseen += 1
+                            if invalid_unseen < 6:
+                                time.sleep(10)
+                                continue
+                            # the job may exist despite squeue's answer
+                            # (federation/lag) — cancel best-effort so a
+                            # real job doesn't keep running unsupervised
+                            subprocess.run(["scancel", job_id], check=False)
                             raise RuntimeError(
                                 f"slurm does not recognize job {job_id} "
                                 f"(squeue: {r.stderr.strip()!r}) and it was "
-                                "never seen in the queue — bad job id or "
-                                "controller lost state at submit"
+                                "never seen in the queue after ~1 min — bad "
+                                "job id or controller lost state at submit"
                             )
                         raise subprocess.CalledProcessError(
                             r.returncode, r.args, r.stdout, r.stderr

@@ -156,23 +156,50 @@ def test_sbatch_federated_output_parses(tmp_path, monkeypatch):
 
 
 def test_unknown_job_id_fails_fast(tmp_path, monkeypatch):
-    """'Invalid job id' with no prior sighting means the controller never
-    knew the job — raise immediately naming the id, instead of burning the
-    ~5 min transient-outage retry loop and blaming squeue."""
+    """'Invalid job id' with no prior sighting: tolerate a short window
+    (controller failover / federated routing can briefly not resolve a job
+    that IS real right after sbatch), then raise naming the id — NOT the
+    ~5 min transient-outage retry loop blaming squeue — and scancel
+    best-effort in case the job exists despite squeue's answer."""
     bindir = tmp_path / "bin"
     bindir.mkdir()
+    cancel_log = tmp_path / "scancel.log"
     _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 13"\n')
     _fake_bin(
         bindir, "squeue",
         'echo "slurm_load_jobs error: Invalid job id specified" >&2\nexit 1\n',
     )
+    _fake_bin(bindir, "scancel", f'echo "$@" >> {cancel_log}\n')
     monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
     slept = []
     monkeypatch.setattr("time.sleep", lambda s: slept.append(s))
     dist = _make_distributor(tmp_path)
     with pytest.raises(RuntimeError, match="does not recognize job 13"):
         dist()
-    assert not slept  # no retry loop
+    assert len(slept) < 10  # short lag window, not the 30x10s outage loop
+    assert cancel_log.read_text().split() == ["13"]
+
+
+def test_transient_invalid_job_id_recovers(tmp_path, monkeypatch):
+    """An 'invalid job id' window right after sbatch (slurmctld lag) that
+    resolves within a few polls must not fail the run."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    count = tmp_path / "polls"
+    _fake_bin(bindir, "sbatch", 'echo "Submitted batch job 15"\n')
+    _fake_bin(
+        bindir, "squeue",
+        f'echo x >> {count}\n'
+        f'if [ "$(wc -l < {count})" -le 2 ]; then '
+        'echo "slurm_load_jobs error: Invalid job id specified" >&2; '
+        "exit 1; fi\n"
+        f'if [ "$(wc -l < {count})" -le 3 ]; then echo "15 R"; fi\n',
+    )
+    _fake_bin(bindir, "sacct", 'echo "COMPLETED"\n')
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    dist = _make_distributor(tmp_path)
+    dist()  # no raise
 
 
 def test_invalid_job_id_after_sighting_verifies_via_sacct(tmp_path, monkeypatch):
