@@ -26,19 +26,48 @@ os.environ.setdefault(
 )
 
 
-def make_corpus(folder, n, d, intrinsic, seed=0, shard_rows=1 << 21):
+def make_corpus(
+    folder, n, d, intrinsic, seed=0, shard_rows=1 << 21,
+    clusters=0, within=0.4,
+):
     """Unit-norm rows x = unit(z @ W + eps), z ~ N(0, I_r): intrinsic dim r
     inside ambient dim d.  Written as fp16 npy shards (the pipeline's
-    on-disk contract) without materializing the corpus in RAM."""
+    on-disk contract) without materializing the corpus in RAM.
+
+    With clusters > 0, z is drawn from a mixture of `clusters` isotropic
+    blobs in the r-dim subspace instead of one Gaussian — the regime of
+    real CLIP embeddings, whose neighbors concentrate in semantic clusters.
+    `within` is the within-cluster noise-VECTOR norm relative to the
+    cluster-center norm: within=0.4 puts same-cluster cosine ~1/(1+0.4²)
+    ≈ 0.86, matching measured top-10 neighbor similarity of CLIP
+    embeddings at 10M+ scale, while cross-cluster pairs are near-orthogonal
+    (the per-component noise std is within·scale/√r — scaling by `within·
+    scale` alone would give a noise vector of norm within·scale·√r, LARGER
+    than the center norm, smearing the clusters away entirely).  The
+    uniform (clusters=0) regime is near-worst-case for IVF: at 10M rows the
+    true top-10 of a query is spread across many Voronoi cells."""
     rng = np.random.default_rng(seed)
     w = np.linalg.qr(rng.normal(size=(d, d)).astype(np.float32))[0][
         :intrinsic
     ]  # (r, d) orthonormal rows
+    scale = float(np.sqrt(intrinsic))  # ||z|| ~ sqrt(r) for the uniform case
+    if clusters:
+        cz = rng.normal(size=(clusters, intrinsic)).astype(np.float32)
+        cz *= scale / np.linalg.norm(cz, axis=1, keepdims=True)
+    noise_std = within * scale / np.sqrt(intrinsic)  # ||noise|| = within·||c||
+
+    def draw_z(rows):
+        if not clusters:
+            return rng.normal(size=(rows, intrinsic)).astype(np.float32)
+        assign = rng.integers(0, clusters, size=rows)
+        return cz[assign] + noise_std * rng.normal(
+            size=(rows, intrinsic)
+        ).astype(np.float32)
+
     t0 = time.time()
     for si, start in enumerate(range(0, n, shard_rows)):
         rows = min(shard_rows, n - start)
-        z = rng.normal(size=(rows, intrinsic)).astype(np.float32)
-        x = z @ w
+        x = draw_z(rows) @ w
         x += 0.05 * rng.normal(size=(rows, d)).astype(np.float32)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         np.save(
@@ -49,9 +78,8 @@ def make_corpus(folder, n, d, intrinsic, seed=0, shard_rows=1 << 21):
             f"({time.time() - t0:.0f}s)",
             flush=True,
         )
-    # held-out queries from the same subspace
-    zq = rng.normal(size=(256, intrinsic)).astype(np.float32)
-    q = zq @ w + 0.05 * rng.normal(size=(256, d)).astype(np.float32)
+    # held-out queries from the same distribution
+    q = draw_z(256) @ w + 0.05 * rng.normal(size=(256, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return q.astype(np.float32)
 
@@ -70,6 +98,12 @@ def main():
     ap.add_argument("--n", type=int, default=10_000_000)
     ap.add_argument("--d", type=int, default=512)
     ap.add_argument("--intrinsic", type=int, default=64)
+    ap.add_argument(
+        "--clusters", type=int, default=0,
+        help="draw the corpus from this many clusters in the intrinsic "
+        "subspace (0 = one Gaussian; CLIP-like data is clustered)",
+    )
+    ap.add_argument("--within", type=float, default=0.4)
     ap.add_argument("--budget", default="4G")
     ap.add_argument("--index_key", default=None)
     ap.add_argument("--out", type=str, default="")
@@ -111,7 +145,10 @@ def main():
         print(f"generating {args.n}x{args.d} corpus (intrinsic dim "
               f"{args.intrinsic}) in {folder}", flush=True)
         t0 = time.time()
-        queries = make_corpus(folder, args.n, args.d, args.intrinsic)
+        queries = make_corpus(
+            folder, args.n, args.d, args.intrinsic,
+            clusters=args.clusters, within=args.within,
+        )
         # .npz: EmbeddingShards globs *.npy, the query file must not look
         # like a corpus shard
         np.savez(os.path.join(folder, "queries.npz"), q=queries)
@@ -180,6 +217,7 @@ def main():
         "n": args.n,
         "d": args.d,
         "intrinsic_dim": args.intrinsic,
+        "clusters": args.clusters,
         "budget": args.budget,
         "index_key": params.index_key,
         "corpus_gen_s": round(gen_s, 1),
