@@ -163,24 +163,21 @@ def _dense(x, w, b=None):
 
 
 def _block(x, p, *, heads, act, eps, causal, attn_impl):
-    b, s, w = x.shape
-    h = heads
-    dh = w // h
     y = _layer_norm(x, p["ln_1"], eps)
     a = p["attn"]
     if "wqkv" in a:
         # pre-fused projection: one (W, 3W) matmul instead of three (W, W)
         qkv = _dense(y, a["wqkv"], a["bqkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
     else:
-        q = _dense(y, a["wq"], a["bq"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        k = _dense(y, a["wk"], a["bk"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        v = _dense(y, a["wv"], a["bv"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-    o = attn_ops.sdpa(q, k, v, causal=causal, impl=attn_impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+        q = _dense(y, a["wq"], a["bq"])
+        k = _dense(y, a["wk"], a["bk"])
+        v = _dense(y, a["wv"], a["bv"])
+    # q/k/v stay in the packed (B, S, W) projection layout: sdpa_packed
+    # feeds the Pallas kernel that layout directly on TPU (the head
+    # reshape/transposes are real HBM copies around a custom call —
+    # measured ~2 ms/layer on ViT-L/14) and reshapes only on fallback.
+    o = attn_ops.sdpa_packed(q, k, v, heads, causal=causal, impl=attn_impl)
     x = x + _dense(o, a["wo"], a["bo"])
     y = _layer_norm(x, p["ln_2"], eps)
     m = p["mlp"]

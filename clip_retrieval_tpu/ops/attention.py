@@ -82,13 +82,15 @@ def sdpa(
     impl: 'auto' | 'xla' | 'xla_bf16' | 'flash'.
 
     'auto' resolution is measurement-driven (benchmarks/attn_tpu.json,
-    v5e): the Pallas flash kernel loses to XLA's batched attention across
-    the zoo's whole sequence range — seq 50 (B/32) through 577
-    (L/14@336, 233 vs 278 img/s) — its per-head grid is too fine for
-    these shapes; on TPU with bf16 activations the bf16-logits XLA
-    variant wins by ~15% on ViT-L/14.  So 'auto' = 'xla_bf16' for bf16
-    inputs on TPU, plain 'xla' otherwise.  CRT_FORCE_FLASH=1 forces the
-    Pallas kernel for A/B runs.
+    v5e): on this (B, H, S, dh) entry the Pallas kernels lose in-model —
+    the per-head grid is too fine at CLIP sequence lengths, and the
+    batched-group variant's raw-op win is eaten by the head transposes
+    XLA cannot fuse through a custom call — so 'auto' = 'xla_bf16' for
+    bf16 inputs on TPU, plain 'xla' otherwise.  The kernel that DOES win
+    consumes the packed (B, S, W) projection layout with no transposes
+    at all: the model blocks call `sdpa_packed`, which routes to it
+    (L/14 662→745 img/s, B/16 2,905→3,564).  CRT_FORCE_FLASH=1 forces
+    the Pallas kernel here for A/B runs.
     """
     if impl == "auto":
         impl = "xla"
@@ -104,3 +106,48 @@ def sdpa(
     return sdpa_reference(
         q, k, v, causal=causal, bf16_logits=(impl == "xla_bf16")
     )
+
+
+def packed_ok(heads: int, width: int) -> bool:
+    """True when the packed Pallas kernel handles this head geometry:
+    64-lane-aligned head slices (dh % 64 == 0) and a workable grouping."""
+    from . import flash
+
+    dh = width // heads
+    return dh % 64 == 0 and flash.packed_group(heads, dh) is not None
+
+
+def sdpa_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    *,
+    causal: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Attention on the PACKED (B, S, W) projection layout, W = heads·dh.
+
+    The model's blocks call this instead of reshaping to (B, H, S, dh)
+    themselves: on TPU the packed Pallas kernel consumes this layout
+    directly (no HBM head-transposes anywhere — measured +13% full-model
+    on ViT-L/14, see `flash.flash_attention_packed`), and every other
+    path falls back to the reshape→`sdpa`→reshape the reference math
+    implies (`/root/reference/clip_retrieval/clip_inference/mapper.py:36`
+    runs the torch equivalent inside open_clip).
+    """
+    use_packed = False
+    if impl in ("auto", "flash") and _on_tpu():
+        if os.environ.get("CRT_DISABLE_FLASH") != "1":
+            use_packed = q.dtype == jnp.bfloat16 and packed_ok(
+                heads, q.shape[-1]
+            )
+    if use_packed:
+        from . import flash
+
+        return flash.flash_attention_packed(q, k, v, heads, causal=causal)
+    b, s, w = q.shape
+    dh = w // heads
+    split = lambda x: x.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    o = sdpa(split(q), split(k), split(v), causal=causal, impl=impl)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, w)

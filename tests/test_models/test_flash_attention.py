@@ -5,8 +5,13 @@ import pytest
 
 import jax.numpy as jnp
 
+from clip_retrieval_tpu.ops import attention as attn_ops
 from clip_retrieval_tpu.ops.attention import sdpa_reference
-from clip_retrieval_tpu.ops.flash import flash_attention
+from clip_retrieval_tpu.ops.flash import (
+    flash_attention,
+    flash_attention_packed,
+    packed_group,
+)
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -18,4 +23,48 @@ def test_flash_matches_reference(shape, causal):
     )
     ref = np.asarray(sdpa_reference(q, k, v, causal=causal))
     got = np.asarray(flash_attention(q, k, v, causal=causal))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+# zoo head geometries: (heads, dh) — B/32|B/16 (12, 64), L/14 (16, 64),
+# text towers (8, 64); H/14's dh=80 is not 64-lane aligned and must fall back
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("heads,dh,seq", [(12, 64, 50), (16, 64, 257), (8, 64, 77)])
+def test_packed_matches_reference(heads, dh, seq, causal):
+    rng = np.random.default_rng(1)
+    b, w = 2, heads * dh
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, seq, w)).astype(np.float32))
+        for _ in range(3)
+    )
+    split = lambda x: x.reshape(b, seq, heads, dh).transpose(0, 2, 1, 3)
+    ref = np.asarray(sdpa_reference(split(q), split(k), split(v), causal=causal))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, seq, w)
+    got = np.asarray(flash_attention_packed(q, k, v, heads, causal=causal))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_packed_group_geometries():
+    # group·dh must be a multiple of 128 (Mosaic lane blocking) and divide heads
+    assert packed_group(16, 64) == 8  # L/14
+    assert packed_group(12, 64) == 6  # B/32, B/16
+    assert packed_group(8, 64) == 8  # 512-wide text towers
+    g = packed_group(16, 80)  # H/14 image tower geometry
+    assert g is None or (g * 80) % 128 == 0 or g == 16
+
+
+def test_sdpa_packed_fallback_unaligned_heads():
+    # dh = 80 (H/14): packed kernel ineligible -> reshape fallback, still exact
+    rng = np.random.default_rng(2)
+    b, seq, heads, dh = 2, 10, 4, 80
+    w = heads * dh
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, seq, w)).astype(np.float32))
+        for _ in range(3)
+    )
+    assert not attn_ops.packed_ok(heads, w)
+    split = lambda x: x.reshape(b, seq, heads, dh).transpose(0, 2, 1, 3)
+    ref = np.asarray(sdpa_reference(split(q), split(k), split(v)))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, seq, w)
+    got = np.asarray(attn_ops.sdpa_packed(q, k, v, heads))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
