@@ -136,15 +136,22 @@ def sdpa_packed(
     implies (`/root/reference/clip_retrieval/clip_inference/mapper.py:36`
     runs the torch equivalent inside open_clip).
     """
+    from . import flash
+
     use_packed = False
     if impl in ("auto", "flash") and _on_tpu():
         if os.environ.get("CRT_DISABLE_FLASH") != "1":
-            use_packed = q.dtype == jnp.bfloat16 and packed_ok(
-                heads, q.shape[-1]
+            use_packed = (
+                q.dtype == jnp.bfloat16
+                and packed_ok(heads, q.shape[-1])
+                # only shapes measured on real Mosaic ride 'auto'; longer
+                # sequences (L/14@336's S=577) and the causal text path
+                # stay on the measured xla_bf16 route until benched —
+                # impl='flash' forces them for A/B runs
+                and (impl == "flash"
+                     or (q.shape[1] <= flash.MAX_PACKED_SEQ and not causal))
             )
     if use_packed:
-        from . import flash
-
         return flash.flash_attention_packed(q, k, v, heads, causal=causal)
     b, s, w = q.shape
     dh = w // heads

@@ -78,45 +78,59 @@ def _pick_group(bh: int, sq: int, sk: int) -> int:
     return g
 
 
+def _attend_2d(q, k, v, *, scale: float, causal: bool):
+    """One head's QK^T → scale → (causal mask) → f32 softmax → PV on 2D
+    (S, dh) tiles — the body shared by the packed kernel's head loop."""
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (Sq, Sk) f32
+    if causal:
+        sq, sk = logits.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        logits = jnp.where(col <= row, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)  # f32 softmax numerics
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    return jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _kern_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                  group: int, dh: int):
     """Heads live in the lane dimension: refs are (1, S, group·dh) slices
     of the packed (B, S, W) projection output.  Each head is a static
-    64/80-lane slice; the per-head logits scratch is reused across the
-    unrolled loop, so VMEM holds one (S, S) f32 tile regardless of group."""
+    64-lane-aligned slice; the per-head logits scratch is reused across
+    the unrolled loop, so VMEM holds one (S, S) f32 tile regardless of
+    group."""
     for h in range(group):
         sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl]  # (Sq, dh)
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (Sq, Sk) f32
-        if causal:
-            sq, sk = logits.shape
-            col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
-            logits = jnp.where(col <= row, logits, -1e30)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)  # f32 softmax numerics
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        o = _attend_2d(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+            scale=scale, causal=causal,
         )
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
+# Longest sequence the packed kernel has been MEASURED at on real Mosaic
+# (attn_tpu.json: S=50/77/257 all win or tie).  L/14@336's S=577 has
+# 1.33 MB f32 logits per head iteration and an unverified scratch-reuse
+# assumption — it stays on the measured xla_bf16 path until benched.
+MAX_PACKED_SEQ = 257
+
+
 def packed_group(heads: int, dh: int) -> int | None:
     """Largest divisor of `heads`, capped at _MAX_GROUP, whose lane-block
-    width group·dh satisfies Mosaic's blocking rule (multiple of 128, or
-    the full width).  None if no grouping works (then use the fallback)."""
+    width group·dh satisfies Mosaic's blocking rule (multiple of 128).
+    None if no such grouping exists (callers then use the XLA fallback —
+    deliberately no full-width escape hatch: group > _MAX_GROUP crashes
+    the Mosaic compiler, see module docstring)."""
     for g in range(min(heads, _MAX_GROUP), 0, -1):
         if heads % g == 0 and (g * dh) % 128 == 0:
             return g
-    if heads <= 2 * _MAX_GROUP:  # full-width block ("equal to the dim")
-        return heads
     return None
 
 
@@ -140,6 +154,9 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     g = group or packed_group(heads, dh)
     if g is None:
         raise ValueError(f"no packed grouping for heads={heads} dh={dh}")
+    if heads % g:
+        # grid truncation would silently leave lanes g*dh.. uninitialized
+        raise ValueError(f"group={g} does not divide heads={heads}")
     kernel = functools.partial(
         _kern_packed, scale=dh ** -0.5, causal=causal, group=g, dh=dh
     )
@@ -182,6 +199,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     bh = b * h
     g = group or _pick_group(bh, sq, sk)
+    if bh % g:
+        # grid truncation would silently drop the last bh % g rows
+        raise ValueError(f"group={g} does not divide batch*heads={bh}")
     # contiguous views, no copies — and deliberately NO padding (see
     # module docstring; Mosaic masks the ragged block edges itself)
     qp = q.reshape(bh, sq, d)

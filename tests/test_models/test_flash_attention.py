@@ -50,7 +50,26 @@ def test_packed_group_geometries():
     assert packed_group(12, 64) == 6  # B/32, B/16
     assert packed_group(8, 64) == 8  # 512-wide text towers
     g = packed_group(16, 80)  # H/14 image tower geometry
-    assert g is None or (g * 80) % 128 == 0 or g == 16
+    assert g is None or (g * 80) % 128 == 0
+    # no full-width escape hatch past _MAX_GROUP: unprovable geometries
+    # must return None (the dispatcher then uses the XLA fallback)
+    assert packed_group(9, 64) is None
+
+
+def test_non_dividing_group_raises():
+    # grid truncation would silently return garbage for the uncovered
+    # heads/rows — explicit group values must divide exactly
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 8, 6 * 64)).astype(np.float32))
+        for _ in range(3)
+    )
+    with pytest.raises(ValueError, match="does not divide"):
+        flash_attention_packed(q, k, v, heads=6, group=4)
+    q4, k4, v4 = (x.reshape(1, 6, 8, 64).transpose(0, 2, 1, 3)[:, :5]
+                  for x in (q, k, v))
+    with pytest.raises(ValueError, match="does not divide"):
+        flash_attention(q4, k4, v4, group=2)
 
 
 def test_sdpa_packed_fallback_unaligned_heads():
