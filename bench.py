@@ -136,8 +136,8 @@ def main():
                 "swings 2x+ between runs — relay_h2d_MBps is the link rate "
                 "measured in THIS run and relay_bound_img_s the ceiling it "
                 "implies (see benchmarks/tunnel_feed_tpu.json); mfu vs "
-                "197 TFLOP/s v5e bf16 peak; attn=auto (bf16-logits XLA, "
-                "see benchmarks/attn_tpu.json)",
+                "197 TFLOP/s v5e bf16 peak; attn=auto (packed-layout "
+                "Pallas flash for L/14, see benchmarks/attn_tpu.json)",
             }
         )
     )

@@ -57,18 +57,20 @@ def make_corpus(
     noise_std = within * scale / np.sqrt(intrinsic)  # ||noise|| = within·||c||
 
     def draw_z(rows):
+        # standard_normal(dtype=float32) skips the float64 draw+cast — the
+        # noise fill dominates corpus-gen wall clock on a single-core host
         if not clusters:
-            return rng.normal(size=(rows, intrinsic)).astype(np.float32)
+            return rng.standard_normal((rows, intrinsic), dtype=np.float32)
         assign = rng.integers(0, clusters, size=rows)
-        return cz[assign] + noise_std * rng.normal(
-            size=(rows, intrinsic)
-        ).astype(np.float32)
+        return cz[assign] + noise_std * rng.standard_normal(
+            (rows, intrinsic), dtype=np.float32
+        )
 
     t0 = time.time()
     for si, start in enumerate(range(0, n, shard_rows)):
         rows = min(shard_rows, n - start)
         x = draw_z(rows) @ w
-        x += 0.05 * rng.normal(size=(rows, d)).astype(np.float32)
+        x += 0.05 * rng.standard_normal((rows, d), dtype=np.float32)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         np.save(
             os.path.join(folder, f"emb_{si:04d}.npy"), x.astype(np.float16)
@@ -79,7 +81,7 @@ def make_corpus(
             flush=True,
         )
     # held-out queries from the same distribution
-    q = draw_z(256) @ w + 0.05 * rng.normal(size=(256, d)).astype(np.float32)
+    q = draw_z(256) @ w + 0.05 * rng.standard_normal((256, d), dtype=np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return q.astype(np.float32)
 

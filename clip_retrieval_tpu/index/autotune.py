@@ -98,6 +98,11 @@ def parse_index_key(key: str, d: int) -> IndexParams:
     )
 
 
+def _pick_nlist(n: int) -> int:
+    """~8·√n coarse cells, power of two, clamped to [64, 131072]."""
+    return 1 << max(6, min(17, round(math.log2(8 * math.sqrt(max(n, 1))))))
+
+
 def _pick_m(d: int, budget_per_vec: float) -> int:
     candidates = [c for c in (256, 192, 128, 96, 64, 48, 32, 24, 16, 12, 8, 4)
                   if c <= d and d % c == 0]
@@ -126,12 +131,19 @@ def select_params(
     flat_bytes = n * d * 2  # fp16 vectors
     if n <= 100_000 and flat_bytes <= budget:
         return IndexParams(kind="flat")
-    # int8 brute force at MXU rate: the TPU-preferred tier whenever the
-    # quantized corpus fits the budget (device HBM across local chips)
+    # int8 tiers at MXU rate: the TPU-preferred path whenever the quantized
+    # corpus fits the budget (device HBM across local chips).  Brute force
+    # (exact) up to 8M rows; past that each query batch would stream the
+    # whole multi-GB corpus from HBM, so switch to IVF-int8 (scan only the
+    # probed lists) with the exact re-rank tier recovering recall
     if n * (d + 4) <= budget:
-        return IndexParams(kind="flat_int8")
+        if n <= 8_000_000:
+            return IndexParams(kind="flat_int8")
+        return IndexParams(
+            kind="ivf_int8", nlist=_pick_nlist(n), use_refine=True
+        )
     # IVF-PQ: per-vector cost ≈ m (codes) + 8 (id); fixed cost nlist*d*4
-    nlist = 1 << max(6, min(17, round(math.log2(8 * math.sqrt(max(n, 1))))))
+    nlist = _pick_nlist(n)
     while nlist > 64 and n / nlist < 39:  # faiss min points per centroid
         nlist //= 2
     per_vec = (budget - nlist * d * 4) / max(n, 1) - 8

@@ -85,6 +85,11 @@ def test_autotune_prefers_int8_tier():
     assert p.kind == "flat_int8"
     assert p.index_key == "Flat8"
     assert parse_index_key("Flat8", 512).kind == "flat_int8"
+    # int8 fits the budget but the corpus is too large for brute force:
+    # IVF-int8 (probed-lists scan) with the exact re-rank tier
+    p8 = select_params(10_000_000, 512, "8G")
+    assert p8.kind == "ivf_int8" and p8.use_refine
+    assert p8.index_key == f"IVF{p8.nlist},Flat8,RFlat"
     # too big for the budget → ivfpq
     p2 = select_params(50_000_000, 512, "4G")
     assert p2.kind == "ivfpq"
