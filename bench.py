@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from clip_retrieval_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from clip_retrieval_tpu.models import clip as jclip
     from clip_retrieval_tpu.models.clip import init_clip
     from clip_retrieval_tpu.models.configs import VIT_L14

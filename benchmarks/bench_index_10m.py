@@ -45,44 +45,103 @@ def make_corpus(
     scale` alone would give a noise vector of norm within·scale·√r, LARGER
     than the center norm, smearing the clusters away entirely).  The
     uniform (clusters=0) regime is near-worst-case for IVF: at 10M rows the
-    true top-10 of a query is spread across many Voronoi cells."""
+    true top-10 of a query is spread across many Voronoi cells.
+
+    Generation runs on the default JAX device: drawing the ~5e9 gaussians
+    a 10M×512 corpus needs takes hours on a single host core but seconds
+    on the chip; each fp16 shard streams back once and is written to disk.
+    Cluster membership is cyclic — row i belongs to cluster i mod clusters
+    — so every cluster has exactly ⌈n/clusters⌉ or ⌊n/clusters⌋ members and
+    same-cluster neighbors sit `clusters` ids apart (NOT contiguous: id
+    locality must not flatter the refine tier's mmap reads).  Cyclic
+    assignment replaces a per-row random gather, which runs orders of
+    magnitude below memory bandwidth on TPU; a tiled center table +
+    contiguous slices runs at full bandwidth instead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+
+    def _p(msg):
+        print(f"  [gen +{time.time() - t0:5.0f}s] {msg}", flush=True)
+
+    # one-time setup on host (tiny), per-shard draw on device
     rng = np.random.default_rng(seed)
-    w = np.linalg.qr(rng.normal(size=(d, d)).astype(np.float32))[0][
+    w_np = np.linalg.qr(rng.standard_normal((d, d), dtype=np.float32))[0][
         :intrinsic
     ]  # (r, d) orthonormal rows
     scale = float(np.sqrt(intrinsic))  # ||z|| ~ sqrt(r) for the uniform case
+    cz_np = None
     if clusters:
-        cz = rng.normal(size=(clusters, intrinsic)).astype(np.float32)
-        cz *= scale / np.linalg.norm(cz, axis=1, keepdims=True)
+        cz_np = rng.standard_normal((clusters, intrinsic), dtype=np.float32)
+        cz_np *= scale / np.linalg.norm(cz_np, axis=1, keepdims=True)
     noise_std = within * scale / np.sqrt(intrinsic)  # ||noise|| = within·||c||
+    _p("host setup done (w, cluster centers)")
+    w = jnp.asarray(w_np)
+    key = jax.random.PRNGKey(seed)
+    big_cz = None
+    if clusters:
+        # center rows for any [start % clusters, start % clusters + rows)
+        # window of the cyclic assignment, sliced contiguously per shard
+        nrep = min(shard_rows, n) // clusters + 2
+        big_cz = jnp.tile(jnp.asarray(cz_np), (nrep, 1))
 
-    def draw_z(rows):
-        # standard_normal(dtype=float32) skips the float64 draw+cast — the
-        # noise fill dominates corpus-gen wall clock on a single-core host
-        if not clusters:
-            return rng.standard_normal((rows, intrinsic), dtype=np.float32)
-        assign = rng.integers(0, clusters, size=rows)
-        return cz[assign] + noise_std * rng.standard_normal(
-            (rows, intrinsic), dtype=np.float32
+    @jax.jit
+    def draw_around(k, centers):
+        rows = centers.shape[0]
+        kz, kn = jax.random.split(k)
+        z = centers + noise_std * jax.random.normal(
+            kz, (rows, intrinsic), jnp.float32
         )
+        x = z @ w + 0.05 * jax.random.normal(kn, (rows, d), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(jnp.float16)
 
-    t0 = time.time()
+    @jax.jit
+    def draw_uniform(k, shape_token):
+        rows = shape_token.shape[0]
+        kz, kn = jax.random.split(k)
+        z = jax.random.normal(kz, (rows, intrinsic), jnp.float32)
+        x = z @ w + 0.05 * jax.random.normal(kn, (rows, d), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(jnp.float16)
+
+    # the harness relay's device→host rate collapses on multi-GB transfers
+    # (~30 MB/s at 134 MB, <3 MB/s at 2 GB): draw and read back in blocks
+    block_rows = 1 << 17
+
+    def draw_np(k, start, rows):
+        out = np.empty((rows, d), np.float16)
+        for bi, b0 in enumerate(range(0, rows, block_rows)):
+            br = min(block_rows, rows - b0)
+            kb = jax.random.fold_in(k, bi)
+            if clusters:
+                centers = jax.lax.dynamic_slice_in_dim(
+                    big_cz, (start + b0) % clusters, br, 0
+                )
+                out[b0 : b0 + br] = np.asarray(draw_around(kb, centers))
+            else:
+                out[b0 : b0 + br] = np.asarray(
+                    draw_uniform(kb, jnp.empty((br, 0), jnp.int8))
+                )
+        return out
+
     for si, start in enumerate(range(0, n, shard_rows)):
         rows = min(shard_rows, n - start)
-        x = draw_z(rows) @ w
-        x += 0.05 * rng.standard_normal((rows, d), dtype=np.float32)
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        np.save(
-            os.path.join(folder, f"emb_{si:04d}.npy"), x.astype(np.float16)
-        )
-        print(
-            f"  corpus shard {si}: rows {start}..{start + rows} "
-            f"({time.time() - t0:.0f}s)",
-            flush=True,
-        )
-    # held-out queries from the same distribution
-    q = draw_z(256) @ w + 0.05 * rng.standard_normal((256, d), dtype=np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
+        x = draw_np(jax.random.fold_in(key, si), start, rows)
+        np.save(os.path.join(folder, f"emb_{si:04d}.npy"), x)
+        _p(f"corpus shard {si}: rows {start}..{start + rows} written")
+    # held-out queries: random clusters (small gather, fine) or uniform
+    kq = jax.random.fold_in(key, 1 << 20)
+    if clusters:
+        kpick, kdraw = jax.random.split(kq)
+        qcent = big_cz[:clusters][
+            np.asarray(jax.random.randint(kpick, (256,), 0, clusters))
+        ]
+        q = np.asarray(draw_around(kdraw, qcent))
+    else:
+        q = draw_np(kq, 0, 256)
     return q.astype(np.float32)
 
 
@@ -125,6 +184,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from clip_retrieval_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from clip_retrieval_tpu.index.autotune import select_params
     from clip_retrieval_tpu.index.build import (

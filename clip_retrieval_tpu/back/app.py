@@ -273,6 +273,9 @@ def clip_back(
 ):
     """Main entry point: load indices and serve (reference clip_back.py:953)."""
     print("starting boot of clip back")
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # boot warmup compiles persist across restarts
     if columns_to_return is None:
         columns_to_return = ["url", "image_path", "caption", "NSFW"]
     clip_resources = load_clip_indices(

@@ -17,7 +17,9 @@ import sys
 from typing import Any, Callable
 
 # persistent XLA compilation cache: first jit of a big tower costs minutes,
-# every later process start costs ~nothing
+# every later process start costs ~nothing.  The env var alone is ignored by
+# this jax version — utils.compile_cache does the jax.config.update; the
+# setdefault keeps the var visible to subprocesses we spawn.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
@@ -142,6 +144,9 @@ def main(argv: list[str] | None = None):
     command, rest = argv[0], argv[1:]
     if command not in commands:
         top.error(f"unknown command {command!r}")
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     fn = commands[command]()
     parser = _build_parser(fn, prog=f"clip-retrieval-tpu {command}")
     ns = parser.parse_args(rest)

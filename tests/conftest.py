@@ -17,6 +17,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from clip_retrieval_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()  # CPU-mesh GSPMD compiles persist across runs
+
 import numpy as np
 import pytest
 
