@@ -19,8 +19,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.topk import topk_ip, topk_merge
+from ..utils import transfer
 
 _DEVICE_CHUNK = 1 << 20  # DB rows per device block (fp16 512-d ⇒ ~1 GB)
+
+
+def _stream_rows(d: int) -> int:
+    """DB rows per host→device block: bounded staging size (utils.transfer)
+    — large single transfers collapse on fragile links and oversubscribe
+    pinned memory on real ones."""
+    return max(1024, transfer.rows_per_chunk(d * 2))
 
 
 class FlatIndex:
@@ -77,13 +85,14 @@ class FlatIndex:
             b = q.shape[0]
             return (np.full((b, k), -np.inf, np.float32),
                     np.full((b, k), -1, np.int64))
-        if n <= _DEVICE_CHUNK:
+        stream_rows = _stream_rows(self.d)
+        if n <= stream_rows:
             vals, idx = topk_ip(q, jnp.asarray(self.vectors), k_eff)
             vals, idx = np.asarray(vals), np.asarray(idx)
         else:
             vals = idx = None
-            for start in range(0, n, _DEVICE_CHUNK):
-                block = jnp.asarray(self.vectors[start : start + _DEVICE_CHUNK])
+            for start in range(0, n, stream_rows):
+                block = jnp.asarray(self.vectors[start : start + stream_rows])
                 bvals, bidx = topk_ip(q, block, min(k_eff, block.shape[0]))
                 bidx = bidx + start
                 if vals is None:

@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.int8mm import quantize_rows, quantize_rows_device
+from ..utils import transfer
 
 # build the chunked image into disk-backed scratch above this many rows —
 # below it a plain RAM array is cheaper than memmap page traffic
@@ -356,9 +357,9 @@ class IVFInt8Index:
         self._chunk_counts = -(-self.list_sizes() // lc)
         self._device = {
             "coarse": jnp.asarray(self.coarse_centroids),
-            "rows": jnp.asarray(img["rows"]),
-            "scales": jnp.asarray(img["scales"]),
-            "ids": jnp.asarray(img["pos"]),
+            "rows": transfer.device_put_chunked(img["rows"]),
+            "scales": transfer.device_put_chunked(img["scales"]),
+            "ids": transfer.device_put_chunked(img["pos"]),
             "clist": jnp.asarray(img["clist"]),
         }
 

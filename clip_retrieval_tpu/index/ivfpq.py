@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pq import PQCodebooks, adc_lut, pq_decode
+from ..utils import transfer
 
 _DEVICE_BYTES_CAP = 6 << 30  # max flat-codes bytes to keep resident on device
 _SCAN_WINDOW = 1 << 17  # slots per scan step (transient ≈ W·M·9 bytes/query)
@@ -351,7 +352,7 @@ class IVFPQIndex:
             "rotation": None
             if self.rotation is None
             else jnp.asarray(self.rotation),
-            "flat_codes": jnp.asarray(aligned),
+            "flat_codes": transfer.device_put_chunked(aligned),
             "astarts": jnp.asarray(astarts.astype(np.int32)),
             "starts": jnp.asarray(csr_starts.astype(np.int32)),
             "sizes": jnp.asarray(sizes.astype(np.int32)),

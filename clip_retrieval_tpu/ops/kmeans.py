@@ -30,11 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import transfer
+
 
 def _scores(x: jax.Array, centroids: jax.Array) -> jax.Array:
     """(n,d),(k,d) → (n,k) L2-equivalent score: x·cᵀ − ½‖c‖²."""
     return jnp.dot(
-        x, centroids.T, preferred_element_type=jnp.float32
+        x.astype(jnp.float32), centroids.T,
+        preferred_element_type=jnp.float32,
     ) - 0.5 * jnp.sum(jnp.square(centroids), axis=1)
 
 
@@ -43,15 +46,24 @@ def _assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
 
 
 def assign_chunked(
-    x, centroids: jax.Array, chunk: int = 1 << 18
+    x, centroids: jax.Array, chunk: int | None = None
 ) -> np.ndarray:
-    """Stream host-resident data through the device assigner → (n,) int32."""
+    """Stream host-resident data through the device assigner → (n,) int32.
+
+    Chunk size defaults to the bounded staging size (utils.transfer):
+    fp16 inputs ship as fp16 and are widened on device — half the wire
+    bytes of the old convert-on-host path."""
     fn = jax.jit(_assign)
     x = np.asarray(x)
+    wire = x if x.dtype in (np.float16, np.float32) else x.astype(np.float32)
+    if chunk is None:
+        chunk = transfer.rows_per_chunk(
+            wire.dtype.itemsize * max(1, int(np.prod(x.shape[1:])))
+        )
     out = np.empty((x.shape[0],), np.int32)
     for i in range(0, x.shape[0], chunk):
         out[i : i + chunk] = np.asarray(
-            fn(jnp.asarray(x[i : i + chunk], jnp.float32), centroids)
+            fn(jnp.asarray(wire[i : i + chunk]), centroids)
         )
     return out
 
@@ -170,7 +182,7 @@ def kmeans(
         rng.choice(n, size=init_rows, replace=False)
     ]
     init = _kmeanspp_init(
-        jnp.asarray(init_x), jax.random.PRNGKey(seed), k
+        transfer.device_put_chunked(init_x), jax.random.PRNGKey(seed), k
     )
     chunk = _chunk_rows(n, k)
     if mesh is not None:  # chunk rows split evenly across devices
@@ -182,7 +194,9 @@ def kmeans(
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
     xc = x.reshape(C, chunk, -1)
     if mesh is None:
-        return _kmeans_jit(jnp.asarray(xc), init, k, niter)
+        # upload flat in bounded chunks, reshape on device (free view)
+        xd = transfer.device_put_chunked(x).reshape(C, chunk, -1)
+        return _kmeans_jit(xd, init, k, niter)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -194,7 +208,8 @@ def kmeans(
         in_shardings=(data_sh, rep),
         out_shardings=rep,
     )
-    return fn(jax.device_put(xc, data_sh), jax.device_put(init, rep))
+    xd = transfer.device_put_chunked(x).reshape(C, chunk, -1)
+    return fn(jax.device_put(xd, data_sh), jax.device_put(init, rep))
 
 
 def kmeans_multi(
@@ -216,7 +231,10 @@ def kmeans_multi(
     ]
     init = jax.vmap(
         functools.partial(_kmeanspp_init, k=k), in_axes=(0, 0)
-    )(jnp.asarray(init_x), jax.random.split(jax.random.PRNGKey(seed), M))
+    )(
+        transfer.device_put_chunked(init_x),
+        jax.random.split(jax.random.PRNGKey(seed), M),
+    )
     chunk = _chunk_rows(n, k)
     C = -(-n // chunk)
     pad = C * chunk - n
@@ -224,7 +242,7 @@ def kmeans_multi(
         x = np.concatenate(
             [x, np.zeros((M, pad, dsub), np.float32)], axis=1
         )
-    xc = jnp.asarray(x.reshape(M, C, chunk, dsub))
+    xc = transfer.device_put_chunked(x).reshape(M, C, chunk, dsub)
     fn = jax.vmap(
         functools.partial(_kmeans_jit, k=k, niter=niter), in_axes=(0, 0)
     )
