@@ -20,10 +20,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
-)
+from clip_retrieval_tpu.utils.compile_cache import DEFAULT_CACHE_DIR
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
 
 
 def main():

@@ -80,11 +80,15 @@ def make_corpus(
     _p("host setup done (w, cluster centers)")
     w = jnp.asarray(w_np)
     key = jax.random.PRNGKey(seed)
+    # the harness relay's device→host rate collapses on multi-GB transfers
+    # (~30 MB/s at 134 MB, <3 MB/s at 2 GB): draw and read back in blocks
+    block_rows = 1 << 17
     big_cz = None
     if clusters:
-        # center rows for any [start % clusters, start % clusters + rows)
-        # window of the cyclic assignment, sliced contiguously per shard
-        nrep = min(shard_rows, n) // clusters + 2
+        # center rows for any [off, off + br) window of the cyclic
+        # assignment, off < clusters, br ≤ one draw block — slices are per
+        # BLOCK, so tiling past one block window would only waste HBM
+        nrep = min(block_rows, shard_rows, n) // clusters + 2
         big_cz = jnp.tile(jnp.asarray(cz_np), (nrep, 1))
 
     @jax.jit
@@ -107,9 +111,7 @@ def make_corpus(
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
         return x.astype(jnp.float16)
 
-    # the harness relay's device→host rate collapses on multi-GB transfers
-    # (~30 MB/s at 134 MB, <3 MB/s at 2 GB): draw and read back in blocks
-    block_rows = 1 << 17
+    from clip_retrieval_tpu.utils.transfer import to_host_chunked
 
     def draw_np(k, start, rows):
         out = np.empty((rows, d), np.float16)
@@ -120,9 +122,9 @@ def make_corpus(
                 centers = jax.lax.dynamic_slice_in_dim(
                     big_cz, (start + b0) % clusters, br, 0
                 )
-                out[b0 : b0 + br] = np.asarray(draw_around(kb, centers))
+                out[b0 : b0 + br] = to_host_chunked(draw_around(kb, centers))
             else:
-                out[b0 : b0 + br] = np.asarray(
+                out[b0 : b0 + br] = to_host_chunked(
                     draw_uniform(kb, jnp.empty((br, 0), jnp.int8))
                 )
         return out

@@ -20,10 +20,9 @@ from typing import Any, Callable
 # every later process start costs ~nothing.  The env var alone is ignored by
 # this jax version — utils.compile_cache does the jax.config.update; the
 # setdefault keeps the var visible to subprocesses we spawn.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
-)
+from clip_retrieval_tpu.utils.compile_cache import DEFAULT_CACHE_DIR
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", DEFAULT_CACHE_DIR)
 
 
 def _lazy_commands() -> dict[str, Callable[[], Callable]]:

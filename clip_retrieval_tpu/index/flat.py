@@ -85,7 +85,12 @@ class FlatIndex:
             b = q.shape[0]
             return (np.full((b, k), -np.inf, np.float32),
                     np.full((b, k), -1, np.int64))
-        stream_rows = _stream_rows(self.d)
+        # each block keeps its top-min(k_eff, rows) candidates, so blocks
+        # must hold ≥ k_eff rows or a block containing more than
+        # `stream_rows` of the true top-k would silently lose the excess
+        # (and the first merge would top_k a width < k_eff): correctness
+        # outranks the bounded-transfer preference for large k
+        stream_rows = max(_stream_rows(self.d), k_eff)
         if n <= stream_rows:
             vals, idx = topk_ip(q, jnp.asarray(self.vectors), k_eff)
             vals, idx = np.asarray(vals), np.asarray(idx)

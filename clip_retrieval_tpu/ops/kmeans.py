@@ -45,6 +45,11 @@ def _assign(x: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmax(_scores(x, centroids), axis=1)
 
 
+# module-level so assign_chunked's per-shard calls share one trace cache
+# instead of rebuilding (and re-tracing) a fresh wrapper per call
+_assign_jit = jax.jit(_assign)
+
+
 def assign_chunked(
     x, centroids: jax.Array, chunk: int | None = None
 ) -> np.ndarray:
@@ -53,7 +58,7 @@ def assign_chunked(
     Chunk size defaults to the bounded staging size (utils.transfer):
     fp16 inputs ship as fp16 and are widened on device — half the wire
     bytes of the old convert-on-host path."""
-    fn = jax.jit(_assign)
+    fn = _assign_jit
     x = np.asarray(x)
     wire = x if x.dtype in (np.float16, np.float32) else x.astype(np.float32)
     if chunk is None:
@@ -192,7 +197,6 @@ def kmeans(
     pad = C * chunk - n
     if pad:
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
-    xc = x.reshape(C, chunk, -1)
     if mesh is None:
         # upload flat in bounded chunks, reshape on device (free view)
         xd = transfer.device_put_chunked(x).reshape(C, chunk, -1)
@@ -208,8 +212,12 @@ def kmeans(
         in_shardings=(data_sh, rep),
         out_shardings=rep,
     )
-    xd = transfer.device_put_chunked(x).reshape(C, chunk, -1)
-    return fn(jax.device_put(xd, data_sh), jax.device_put(init, rep))
+    # place each device's shard straight from host: per-shard transfers are
+    # already 1/n_dev of the array (bounded), and staging through the
+    # default device first would commit the WHOLE set to one chip's HBM
+    # plus an extra device-to-device reshard
+    xd = jax.device_put(x.reshape(C, chunk, -1), data_sh)
+    return fn(xd, jax.device_put(init, rep))
 
 
 def kmeans_multi(
@@ -232,7 +240,11 @@ def kmeans_multi(
     init = jax.vmap(
         functools.partial(_kmeanspp_init, k=k), in_axes=(0, 0)
     )(
-        transfer.device_put_chunked(init_x),
+        # chunking splits along axis 0; a (M, rows, dsub) array has only M
+        # huge "rows", so ship 2-D and reshape on device (free view)
+        transfer.device_put_chunked(init_x.reshape(-1, dsub)).reshape(
+            init_x.shape
+        ),
         jax.random.split(jax.random.PRNGKey(seed), M),
     )
     chunk = _chunk_rows(n, k)
@@ -242,7 +254,9 @@ def kmeans_multi(
         x = np.concatenate(
             [x, np.zeros((M, pad, dsub), np.float32)], axis=1
         )
-    xc = transfer.device_put_chunked(x).reshape(M, C, chunk, dsub)
+    xc = transfer.device_put_chunked(x.reshape(-1, dsub)).reshape(
+        M, C, chunk, dsub
+    )
     fn = jax.vmap(
         functools.partial(_kmeans_jit, k=k, niter=niter), in_axes=(0, 0)
     )

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT = os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache")
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache")
+_DEFAULT = DEFAULT_CACHE_DIR
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
@@ -30,6 +31,6 @@ def enable_persistent_cache(path: str | None = None) -> str:
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path

@@ -16,6 +16,8 @@ import os
 
 import numpy as np
 
+_UPDATE_JIT = None  # lazily-built module-level jit (shape-cached by jax)
+
 
 def chunk_bytes() -> int:
     return int(os.environ.get("CRT_H2D_CHUNK_MB", "32")) << 20
@@ -25,27 +27,48 @@ def rows_per_chunk(row_bytes: int) -> int:
     return max(1, chunk_bytes() // max(1, row_bytes))
 
 
-def device_put_chunked(x: np.ndarray, sharding=None):
-    """Upload a host array in row chunks; returns a device array.
+def _updater():
+    global _UPDATE_JIT
+    if _UPDATE_JIT is None:
+        import jax
 
-    Chunks along axis 0 and concatenates on device (one extra HBM copy,
-    paid once).  With `sharding`, the assembled array is then device_put
-    onto it (a device-to-device move, not another host transfer).
+        def upd(buf, part, off):
+            return jax.lax.dynamic_update_slice_in_dim(buf, part, off, 0)
+
+        # donate_argnums=0: XLA reuses the destination buffer, so peak HBM
+        # is full-array + one chunk (concatenating the parts instead would
+        # briefly hold 2× the array — an OOM for device images built near
+        # the HBM cap)
+        _UPDATE_JIT = jax.jit(upd, donate_argnums=0)
+    return _UPDATE_JIT
+
+
+def device_put_chunked(x: np.ndarray, sharding=None):
+    """Upload a host array in bounded row chunks; returns a device array.
+
+    Chunks along axis 0 into a preallocated buffer via a donated
+    dynamic-update-slice, so peak device memory is the array itself plus
+    one staging chunk.  The offset is a traced scalar: one compile per
+    (buffer, chunk) shape pair, not per offset.
+
+    With `sharding` spanning multiple devices the array is placed directly
+    onto it instead: per-device shard transfers are already bounded by the
+    mesh split, and staging through the default device first would add a
+    full device-to-device copy (and its memory) for nothing.
     """
     import jax
     import jax.numpy as jnp
 
     x = np.asarray(x)
-    if x.ndim == 0 or x.nbytes <= chunk_bytes():
-        out = jnp.asarray(x)
-    else:
-        rows = rows_per_chunk(x.nbytes // x.shape[0])
-        parts = [
-            jnp.asarray(x[i : i + rows]) for i in range(0, x.shape[0], rows)
-        ]
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     if sharding is not None:
-        out = jax.device_put(out, sharding)
+        return jax.device_put(x, sharding)
+    if x.ndim == 0 or x.nbytes <= chunk_bytes():
+        return jnp.asarray(x)
+    rows = rows_per_chunk(x.nbytes // x.shape[0])
+    out = jnp.zeros(x.shape, x.dtype)
+    upd = _updater()
+    for i in range(0, x.shape[0], rows):
+        out = upd(out, jnp.asarray(x[i : i + rows]), np.int32(i))
     return out
 
 

@@ -51,12 +51,32 @@ def test_flat_chunked_merge(monkeypatch):
     whole = FlatIndex(x.shape[1])
     whole.add(x)
     v1, i1 = whole.search(q, 12)
-    monkeypatch.setattr(flat_mod, "_DEVICE_CHUNK", 256)
+    monkeypatch.setattr(flat_mod, "_stream_rows", lambda d: 256)
     chunked = FlatIndex(x.shape[1])
     chunked.add(x)
     v2, i2 = chunked.search(q, 12)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+
+def test_flat_chunked_large_k(monkeypatch):
+    """k larger than the streaming block: a block must keep ≥ k candidates
+    or true neighbors concentrated in one block are silently dropped (and
+    the first top-k merge would see a width < k)."""
+    import clip_retrieval_tpu.index.flat as flat_mod
+
+    x = _clustered_unit(700)
+    q = _clustered_unit(3, seed=5)
+    whole = FlatIndex(x.shape[1])
+    whole.add(x)
+    v1, i1 = whole.search(q, 400)
+    monkeypatch.setattr(flat_mod, "_stream_rows", lambda d: 256)
+    chunked = FlatIndex(x.shape[1])
+    chunked.add(x)
+    v2, i2 = chunked.search(q, 400)
+    for row1, row2 in zip(i1, i2):
+        assert set(row1) == set(row2)
+    np.testing.assert_allclose(np.sort(v1), np.sort(v2), atol=1e-5)
 
 
 def test_flat_k_exceeds_n():
