@@ -135,13 +135,21 @@ def select_params(
     # corpus fits the budget (device HBM across local chips).  Brute force
     # (exact) up to 8M rows; past that each query batch would stream the
     # whole multi-GB corpus from HBM, so switch to IVF-int8 (scan only the
-    # probed lists) with the exact re-rank tier recovering recall
-    if n * (d + 4) <= budget:
-        if n <= 8_000_000:
-            return IndexParams(kind="flat_int8")
-        return IndexParams(
-            kind="ivf_int8", nlist=_pick_nlist(n), use_refine=True
-        )
+    # probed lists) with the exact re-rank tier recovering recall.  Each
+    # tier is costed at its ACTUAL device-image bytes, not the raw corpus:
+    # a boundary-sized corpus must not pass the check and then OOM.
+    if n <= 8_000_000 and n * (d + 4) <= budget:  # int8 rows + f32 scale
+        return IndexParams(kind="flat_int8")
+    from .ivf_int8 import _chunk_len
+
+    int8_nlist = _pick_nlist(n)
+    # chunked-CSR image: int8 rows + f32 scale + i32 pos per row, worst-case
+    # nlist·Lc chunk-padding rows, + f32 coarse centroids
+    ivf_int8_bytes = (n + int8_nlist * _chunk_len(n, int8_nlist)) * (
+        d + 8
+    ) + int8_nlist * d * 4
+    if ivf_int8_bytes <= budget:
+        return IndexParams(kind="ivf_int8", nlist=int8_nlist, use_refine=True)
     # IVF-PQ: per-vector cost ≈ m (codes) + 8 (id); fixed cost nlist*d*4
     nlist = _pick_nlist(n)
     while nlist > 64 and n / nlist < 39:  # faiss min points per centroid

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import kmeans as kmeans_ops
+from .rerank import ShardRowGather
 from ..ops import pq as pq_ops
 from .autotune import IndexParams, select_params
 from .flat import FlatIndex
@@ -143,7 +144,12 @@ def build_index_from_shards(
         for start, block in shards.iter_chunks():
             x[start : start + block.shape[0]] = block
         return IVFInt8Index.from_vectors(
-            x, nlist=params.nlist, nprobe=nprobe, seed=seed, refine=refine
+            x,
+            nlist=params.nlist,
+            nprobe=nprobe,
+            seed=seed,
+            refine=refine,
+            refine_source=ShardRowGather(shards) if refine else None,
         )
 
     if params.kind == "flat_int8":
@@ -217,15 +223,10 @@ def build_index_from_shards(
 
     refine_vectors = None
     if refine:  # exact re-ranking store: original fp16 vectors in id order
-        # disk-backed, not RAM (see scratch_memmap); `scratch` prefers the
-        # index output dir (writable by definition), then the data volume
-        # holding the shards, then system tmp — NOT tmp first, which is
-        # often a small root partition or RAM-backed tmpfs at this scale
-        refine_vectors = scratch_memmap((n, d), np.float16, scratch)
-        for start, block in shards.iter_chunks():
-            refine_vectors[start : start + block.shape[0]] = block.astype(
-                np.float16
-            )
+        # the source shards already ARE that store — gather straight from
+        # them instead of writing a corpus-sized fp16 scratch copy
+        # (~100 GB at the 100M×512 tier); save() persists a real copy
+        refine_vectors = ShardRowGather(shards)
 
     return IVFPQIndex(
         d=d,

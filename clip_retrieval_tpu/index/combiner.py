@@ -56,8 +56,15 @@ def _merge_refine(indices, ids, total: int, d: int, scratch):
             # the 100M×512 tier) and must not live in RAM (same contract as
             # build.py's refine path)
             refine = scratch_memmap((total, d), np.float16, scratch)
+            chunk = 1 << 17
             for ix, (lo, n) in zip(indices, shard_ranges):
-                refine[lo : lo + n] = np.asarray(ix.refine_vectors)
+                # stream: the source may be a memmap or ShardRowGather;
+                # one-shot np.asarray would materialize a shard in RAM
+                for i in range(0, n, chunk):
+                    hi = min(i + chunk, n)
+                    refine[lo + i : lo + hi] = np.asarray(
+                        ix.refine_vectors[i:hi], np.float16
+                    )
         else:
             print(
                 "WARNING: shard ids do not tile the merged range; "

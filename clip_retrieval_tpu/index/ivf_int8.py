@@ -272,6 +272,7 @@ class IVFInt8Index:
         kmeans_niter: int = 20,
         seed: int = 0,
         refine: bool = False,
+        refine_source=None,
     ) -> "IVFInt8Index":
         from ..ops import kmeans as km
 
@@ -311,8 +312,13 @@ class IVFInt8Index:
         refine_vectors = None
         if refine:
             # exact re-rank store: rows in id order (ids here ARE the
-            # original row indices), disk-backed for memmap corpora
-            if is_disk:
+            # original row indices).  refine_source (e.g. ShardRowGather
+            # over the original fp16 shards) is used as-is — those shards
+            # already hold exactly these rows, so copying them into a
+            # second corpus-sized scratch memmap would only burn disk
+            if refine_source is not None:
+                refine_vectors = refine_source
+            elif is_disk:
                 from .build import scratch_memmap
 
                 scratch = (
@@ -497,9 +503,12 @@ class IVFInt8Index:
         np.save(os.path.join(path, "q_vectors.npy"), np.asarray(self.q_vectors))
         np.save(os.path.join(path, "scales.npy"), np.asarray(self.scales))
         if self.refine_vectors is not None:
-            np.save(
-                os.path.join(path, "refine_vectors.npy"),
-                np.asarray(self.refine_vectors, np.float16),
+            from .rerank import save_rows_fp16
+
+            # streams: the store may be a ShardRowGather or a memmap, and
+            # np.asarray on either would materialize ~2 bytes·n·d in RAM
+            save_rows_fp16(
+                os.path.join(path, "refine_vectors.npy"), self.refine_vectors
             )
 
     @classmethod

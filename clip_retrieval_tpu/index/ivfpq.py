@@ -678,9 +678,12 @@ class IVFPQIndex:
         np.save(os.path.join(path, "list_ids.npy"), np.asarray(self.list_ids))
         np.save(os.path.join(path, "list_codes.npy"), np.asarray(self.list_codes))
         if self.refine_vectors is not None:
-            np.save(
-                os.path.join(path, "refine_vectors.npy"),
-                np.asarray(self.refine_vectors, np.float16),
+            from .rerank import save_rows_fp16
+
+            # streams: the store may be a ShardRowGather or a memmap, and
+            # np.asarray on either would materialize ~2 bytes·n·d in RAM
+            save_rows_fp16(
+                os.path.join(path, "refine_vectors.npy"), self.refine_vectors
             )
 
     @classmethod

@@ -185,6 +185,30 @@ class SlurmDistributor:
                             if invalid_unseen < 6:
                                 time.sleep(10)
                                 continue
+                            # before concluding bad-id, ask accounting: a
+                            # short-MinJobAge cluster purges a fast job
+                            # from squeue before our first successful poll
+                            # ever sights it — sacct still knows it
+                            state = self._final_state(job_id)
+                            if state in ("COMPLETED", "COMPLETING"):
+                                self._finish(
+                                    job_id,
+                                    "completed before first squeue sighting",
+                                )
+                                return
+                            if state in ("RUNNING", "PENDING", "SUSPENDED"):
+                                # real job, squeue lied (federation/lag):
+                                # resume polling; a later purge now
+                                # resolves through _finish
+                                seen_running = True
+                                invalid_unseen = 0
+                                time.sleep(10)
+                                continue
+                            if state is not None:
+                                raise RuntimeError(
+                                    f"slurm job {job_id} ended in state "
+                                    f"{state} (never seen in squeue)"
+                                )
                             # the job may exist despite squeue's answer
                             # (federation/lag) — cancel best-effort so a
                             # real job doesn't keep running unsupervised

@@ -147,8 +147,11 @@ def sdpa_packed(
                 # only shapes measured on real Mosaic ride 'auto'; longer
                 # sequences (L/14@336's S=577) and the causal text path
                 # stay on the measured xla_bf16 route until benched —
-                # impl='flash' forces them for A/B runs
+                # impl='flash' or CRT_FORCE_FLASH=1 forces them for A/B
+                # runs (the env var must force the SAME kernel 'auto'
+                # would adopt, or the A/B measures the wrong thing)
                 and (impl == "flash"
+                     or os.environ.get("CRT_FORCE_FLASH") == "1"
                      or (q.shape[1] <= flash.MAX_PACKED_SEQ and not causal))
             )
     if use_packed:
