@@ -143,9 +143,12 @@ def select_params(
     from .ivf_int8 import _chunk_len
 
     int8_nlist = _pick_nlist(n)
-    # chunked-CSR image: int8 rows + f32 scale + i32 pos per row, worst-case
-    # nlist·Lc chunk-padding rows, + f32 coarse centroids
-    ivf_int8_bytes = (n + int8_nlist * _chunk_len(n, int8_nlist)) * (
+    # chunked-CSR image: int8 rows + f32 scale + i32 pos per row, expected
+    # Lc/2 padding rows per list (each list wastes < Lc slots in its last
+    # chunk; k-means-balanced lists land uniformly in [0, Lc), and the
+    # adversarial all-lists-≡1-mod-Lc case cannot concentrate: skew means
+    # few LONG lists, whose relative padding vanishes), + f32 centroids
+    ivf_int8_bytes = (n + int8_nlist * _chunk_len(n, int8_nlist) // 2) * (
         d + 8
     ) + int8_nlist * d * 4
     if ivf_int8_bytes <= budget:
