@@ -90,10 +90,17 @@ def init_clip(cfg: CLIPConfig, key: jax.Array | int = 0) -> Params:
         _, kt, kvb, ktb, kproj_v, kproj_t, ktok,
         kcls, kpatch, kblocks_v,
     ) = jax.random.split(key, 10)
+    if cfg.vision_kind == "resnet":
+        from . import resnet as _resnet
+
+        visual = _resnet.init_resnet_visual(cfg, kvb)
+        return {
+            "visual": visual,
+            "text": _init_text(cfg, kt, ktb, kproj_t, ktok),
+            "logit_scale": jnp.array(np.log(1 / 0.07), jnp.float32),
+        }
     w = cfg.vision_width
-    tw = cfg.text_width
     v_mlp = int(round(cfg.vision_width * cfg.vision_mlp_ratio))
-    t_mlp = int(round(cfg.text_width * cfg.text_mlp_ratio))
     visual = {
         "patch_embed": {
             "kernel": jax.random.normal(
@@ -112,7 +119,17 @@ def init_clip(cfg: CLIPConfig, key: jax.Array | int = 0) -> Params:
         "proj": jax.random.normal(kproj_v, (w, cfg.embed_dim), jnp.float32)
         * w ** -0.5,
     }
-    text = {
+    return {
+        "visual": visual,
+        "text": _init_text(cfg, kt, ktb, kproj_t, ktok),
+        "logit_scale": jnp.array(np.log(1 / 0.07), jnp.float32),
+    }
+
+
+def _init_text(cfg: CLIPConfig, kt, ktb, kproj_t, ktok) -> Params:
+    tw = cfg.text_width
+    t_mlp = int(round(cfg.text_width * cfg.text_mlp_ratio))
+    return {
         "token_emb": jax.random.normal(
             ktok, (cfg.vocab_size, tw), jnp.float32
         )
@@ -125,11 +142,6 @@ def init_clip(cfg: CLIPConfig, key: jax.Array | int = 0) -> Params:
         "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
         "proj": jax.random.normal(kproj_t, (tw, cfg.embed_dim), jnp.float32)
         * tw ** -0.5,
-    }
-    return {
-        "visual": visual,
-        "text": text,
-        "logit_scale": jnp.array(np.log(1 / 0.07), jnp.float32),
     }
 
 
@@ -262,6 +274,11 @@ def encode_image(
         ) else images.astype(compute_dtype)
     else:
         raise TypeError(f"bad image dtype {images.dtype}")
+    if cfg.vision_kind == "resnet":
+        from . import resnet as _resnet
+
+        feats = _resnet.forward_visual(vp, cfg, x, compute_dtype)
+        return l2_normalize(feats) if normalize else feats
     b = x.shape[0]
     # im2col patchify: (B, g, P, g, P, 3) → (B, g*g, P*P*3), then one matmul.
     x = x.reshape(b, g, p_sz, g, p_sz, 3)

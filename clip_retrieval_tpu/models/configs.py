@@ -4,7 +4,8 @@ The reference delegates model definition to `all_clip.load_clip`
 (`/root/reference/clip_retrieval/clip_inference/mapper.py:4,36`); we define the
 architectures natively.  Configs cover the model families the reference's docs
 exercise (ViT-B/32, B/16, L/14, H/14, g/14 + the mCLIP text variants handled
-separately in loaders).
+separately in loaders) plus the openai ResNet family (RN50, RN101,
+RN50x{4,16,64}) the reference reaches through the same `clip_model` string.
 """
 
 from __future__ import annotations
@@ -26,6 +27,13 @@ class CLIPConfig:
     vision_heads: int = 12
     vision_mlp_ratio: float = 4.0
 
+    # ResNet vision tower (openai RN50/RN101/RN50x{4,16,64} family): when
+    # resnet_layers is set the image tower is a ModifiedResNet and
+    # vision_width is the stem width (64 for RN50); vision_heads is the
+    # attention-pool head count; patch_size/vision_layers/mlp_ratio are
+    # unused.  The text tower is the same transformer either way.
+    resnet_layers: Optional[tuple] = None
+
     # text tower
     vocab_size: int = 49408
     context_length: int = 77
@@ -39,8 +47,20 @@ class CLIPConfig:
     layernorm_eps: float = 1e-5
 
     @property
+    def vision_kind(self) -> str:
+        return "resnet" if self.resnet_layers else "vit"
+
+    @property
     def grid_size(self) -> int:
+        # ModifiedResNet downsamples 32x total (stem 4x + 3 strided stages)
+        if self.resnet_layers:
+            return self.image_size // 32
         return self.image_size // self.patch_size
+
+    @property
+    def attnpool_dim(self) -> int:
+        """Channel width entering the attention pool (stage-4 output)."""
+        return self.vision_width * 32  # width*8 planes x expansion 4
 
     @property
     def num_patches(self) -> int:
@@ -116,6 +136,68 @@ VIT_G14 = _register(
     )
 )
 
+# openai CLIP ResNet family (the reference accepts these via all_clip, e.g.
+# `clip_model="RN50"`; hyperparameters follow the published openai CLIP
+# builds — stem width, per-stage block counts, attnpool heads = width/2).
+RN50 = _register(
+    CLIPConfig(
+        name="RN50",
+        embed_dim=1024,
+        resnet_layers=(3, 4, 6, 3),
+        vision_width=64,
+        vision_heads=32,
+        text_width=512,
+        text_heads=8,
+    )
+)
+RN101 = _register(
+    CLIPConfig(
+        name="RN101",
+        embed_dim=512,
+        resnet_layers=(3, 4, 23, 3),
+        vision_width=64,
+        vision_heads=32,
+        text_width=512,
+        text_heads=8,
+    )
+)
+RN50X4 = _register(
+    CLIPConfig(
+        name="RN50x4",
+        embed_dim=640,
+        image_size=288,
+        resnet_layers=(4, 6, 10, 6),
+        vision_width=80,
+        vision_heads=40,
+        text_width=640,
+        text_heads=10,
+    )
+)
+RN50X16 = _register(
+    CLIPConfig(
+        name="RN50x16",
+        embed_dim=768,
+        image_size=384,
+        resnet_layers=(6, 8, 18, 8),
+        vision_width=96,
+        vision_heads=48,
+        text_width=768,
+        text_heads=12,
+    )
+)
+RN50X64 = _register(
+    CLIPConfig(
+        name="RN50x64",
+        embed_dim=1024,
+        image_size=448,
+        resnet_layers=(3, 15, 36, 10),
+        vision_width=128,
+        vision_heads=64,
+        text_width=1024,
+        text_heads=16,
+    )
+)
+
 # Tiny config for tests: runs in milliseconds on CPU.
 TEST_TINY = _register(
     CLIPConfig(
@@ -127,6 +209,24 @@ TEST_TINY = _register(
         vision_layers=2,
         vision_heads=4,
         # 520 ≥ byte-fallback tokenizer vocab (514) for vocab-file-free tests
+        vocab_size=520,
+        context_length=16,
+        text_width=32,
+        text_layers=2,
+        text_heads=4,
+    )
+)
+
+
+# Tiny ResNet config: stem 3->4->4->8, stages (1,1,1,1), 64px -> 2x2 grid.
+TEST_TINY_RN = _register(
+    CLIPConfig(
+        name="test-tiny-rn",
+        embed_dim=16,
+        image_size=64,
+        resnet_layers=(1, 1, 1, 1),
+        vision_width=8,
+        vision_heads=4,
         vocab_size=520,
         context_length=16,
         text_width=32,

@@ -181,8 +181,96 @@ def _convert_openai_tower(sd, prefix: str, n_layers: int, width: int):
     }
 
 
+def _fold_conv_bn(sd, conv_key: str, bn_key: str, eps: float = 1e-5):
+    """Fold an inference BatchNorm into the preceding bias-free conv:
+    y = gamma*(conv(x)-mean)/sqrt(var+eps)+beta == conv(x)*scale + bias.
+    Conv weight (O,I,kh,kw) -> HWIO."""
+    kernel = _np(sd[conv_key + ".weight"]).transpose(2, 3, 1, 0)
+    gamma = _np(sd[bn_key + ".weight"]).astype(np.float64)
+    beta = _np(sd[bn_key + ".bias"]).astype(np.float64)
+    mean = _np(sd[bn_key + ".running_mean"]).astype(np.float64)
+    var = _np(sd[bn_key + ".running_var"]).astype(np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    return {
+        "kernel": kernel,
+        "scale": (scale).astype(np.float32),
+        "bias": (beta - mean * scale).astype(np.float32),
+    }
+
+
+def convert_openai_resnet_visual(
+    sd: Mapping[str, Any], cfg: CLIPConfig
+) -> Params:
+    """openai ModifiedResNet visual.* keys -> resnet.py param tree (BN
+    folded, tail blocks of each stage stacked for lax.scan)."""
+    g = lambda k: _np(sd[k])
+    stem = {
+        f"conv{i}": _fold_conv_bn(sd, f"visual.conv{i}", f"visual.bn{i}")
+        for i in (1, 2, 3)
+    }
+
+    def block(prefix: str, down: bool):
+        p = {
+            f"conv{j}": _fold_conv_bn(
+                sd, f"{prefix}.conv{j}", f"{prefix}.bn{j}"
+            )
+            for j in (1, 2, 3)
+        }
+        if down:
+            p["down"] = _fold_conv_bn(
+                sd, f"{prefix}.downsample.0", f"{prefix}.downsample.1"
+            )
+        return p
+
+    stages = []
+    for si, n_blocks in enumerate(cfg.resnet_layers):
+        head = block(f"visual.layer{si + 1}.0", down=True)
+        tail = None
+        if n_blocks > 1:
+            tails = [
+                block(f"visual.layer{si + 1}.{i}", down=False)
+                for i in range(1, n_blocks)
+            ]
+            import jax as _jax
+
+            tail = _jax.tree.map(lambda *xs: np.stack(xs), *tails)
+        stages.append({"head": head, "tail": tail})
+    attnpool = {
+        "pos_emb": g("visual.attnpool.positional_embedding"),
+        "wq": g("visual.attnpool.q_proj.weight").T,
+        "bq": g("visual.attnpool.q_proj.bias"),
+        "wk": g("visual.attnpool.k_proj.weight").T,
+        "bk": g("visual.attnpool.k_proj.bias"),
+        "wv": g("visual.attnpool.v_proj.weight").T,
+        "bv": g("visual.attnpool.v_proj.bias"),
+        "wc": g("visual.attnpool.c_proj.weight").T,
+        "bc": g("visual.attnpool.c_proj.bias"),
+    }
+    return {"stem": stem, "stages": stages, "attnpool": attnpool}
+
+
 def convert_openai_state_dict(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
     g = lambda k: _np(sd[k])
+    if "visual.layer1.0.conv1.weight" in sd:
+        text = {
+            "token_emb": g("token_embedding.weight"),
+            "pos_emb": g("positional_embedding"),
+            "blocks": _convert_openai_tower(
+                sd, "transformer", cfg.text_layers, cfg.text_width
+            ),
+            "ln_final": {
+                "scale": g("ln_final.weight"),
+                "bias": g("ln_final.bias"),
+            },
+            "proj": g("text_projection"),
+        }
+        return _to_jnp(
+            {
+                "visual": convert_openai_resnet_visual(sd, cfg),
+                "text": text,
+                "logit_scale": _np(sd["logit_scale"]).reshape(()),
+            }
+        )
     visual = {
         "patch_embed": {
             "kernel": g("visual.conv1.weight").transpose(2, 3, 1, 0)
