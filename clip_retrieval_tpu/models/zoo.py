@@ -70,7 +70,31 @@ def _make_tokenizer(
 
 
 def load_model(clip_model: str, checkpoint: str | None = None) -> ModelBundle:
-    """Resolve clip_model (see module docstring) to a ModelBundle."""
+    """Resolve clip_model (see module docstring) to a ModelBundle.
+
+    Reference `clip_model` string prefixes are accepted for CLI/config
+    parity (`/root/reference/README.md:179`): `"open_clip:ARCH/PRETRAINED"`
+    resolves ARCH as a config name (the PRETRAINED tag names a hosted
+    weight set the zero-egress build cannot fetch — pass `checkpoint=` or
+    `ARCH:/path/to.pt` to load weights), and `"hf_clip:DIR"` is an alias
+    of `"hf:DIR"`.
+    """
+    if clip_model.startswith("open_clip:"):
+        arch = clip_model[len("open_clip:") :]
+        if ":" in arch and checkpoint is None:  # "ARCH:/local/ckpt.pt"
+            arch, checkpoint = arch.split(":", 1)
+        if "/" in arch:
+            arch, pretrained = arch.split("/", 1)
+            if checkpoint is None:
+                print(
+                    f"WARNING: open_clip pretrained tag {pretrained!r} "
+                    "names a hosted weight set; this offline build loads "
+                    "weights only from local files — pass "
+                    "checkpoint=/path/to/state_dict"
+                )
+        clip_model = arch
+    if clip_model.startswith("hf_clip:"):
+        clip_model = "hf:" + clip_model[len("hf_clip:") :]
     if clip_model.startswith("hf:"):
         import transformers
 
