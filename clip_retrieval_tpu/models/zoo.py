@@ -79,6 +79,14 @@ def load_model(clip_model: str, checkpoint: str | None = None) -> ModelBundle:
     `ARCH:/path/to.pt` to load weights), and `"hf_clip:DIR"` is an alias
     of `"hf:DIR"`.
     """
+    if clip_model.startswith("nm:"):
+        # reference README.md:201: deepsparse CPU backend for sparse ONNX
+        # CLIP models — a CPU-inference accelerator with no TPU meaning
+        raise ValueError(
+            "deepsparse ('nm:') clip_model backends are sparse-ONNX CPU "
+            "accelerators the TPU build does not run; use a config name "
+            "(ViT-*/RN*), '<config>:<checkpoint>', or 'hf:<dir>'"
+        )
     if clip_model.startswith("open_clip:"):
         arch = clip_model[len("open_clip:") :]
         if ":" in arch and checkpoint is None:  # "ARCH:/local/ckpt.pt"

@@ -50,3 +50,10 @@ def test_rn50_resolves():
 
     assert get_config("RN50").embed_dim == 1024
     assert get_config("rn50").name == "RN50"
+
+
+def test_nm_prefix_clear_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="deepsparse"):
+        load_model("nm:mgoin/CLIP-ViT-B-32-laion2b_s34b_b79k-ds")
