@@ -331,7 +331,8 @@ def calibrate_nprobe(
         if r >= target_recall:
             chosen = cand
             break
-    if chosen is None:
+    target_missed = chosen is None
+    if target_missed:
         chosen = candidates[-1]  # best effort: largest probed
         LOGGER.warning(
             "nprobe calibration missed target recall %.2f (best %.3f at "
@@ -339,11 +340,18 @@ def calibrate_nprobe(
             target_recall, max(curve.values()), chosen,
         )
     index.nprobe = chosen
+    # recall_achieved / target_missed travel with the index (quantize copies
+    # this record into header.json) so a build that ships below its recall
+    # contract is visible at serving boot, not just in the build log —
+    # autofaiss likewise records achieved recall in its infos json
+    # (reference clip_index.py:24-31)
     return {
         "nprobe": chosen,
         "target_recall": target_recall,
         "recall_k": k,
         "recall_curve": curve,
+        "recall_achieved": curve[str(chosen)],
+        "target_missed": target_missed,
     }
 
 
@@ -356,6 +364,8 @@ def quantize(
     nprobe: int | None,
     compute_recall: bool,
     refine: bool | None = None,
+    target_recall: float = 0.95,
+    max_nprobe: int = 256,
 ):
     """nprobe=None → build with the default then calibrate the smallest
     nprobe reaching recall@10 ≥ 0.95 (autofaiss-parity hyperparameter
@@ -392,8 +402,16 @@ def quantize(
     if compute_recall:
         queries = shards.sample(100, seed=7)
         gt = _exact_ground_truth(shards, queries, 40)
+    cal = None
     if nprobe is None and compute_recall:
-        cal = calibrate_nprobe(index, shards, queries=queries, gt=gt)
+        cal = calibrate_nprobe(
+            index,
+            shards,
+            target_recall=target_recall,
+            max_nprobe=max_nprobe,
+            queries=queries,
+            gt=gt,
+        )
         if cal:
             infos["nprobe_calibration"] = cal
     elif nprobe is None and getattr(index, "nprobe", None) is not None:
@@ -407,6 +425,17 @@ def quantize(
         )
     infos["build_seconds"] = time.time() - t0
     index.save(index_path)  # after calibration: nprobe persists in the header
+    if cal:
+        # stamp the calibration outcome into the index header itself so a
+        # build that missed its recall contract warns at serving boot
+        # (store.load_index) — the infos json alone never reaches clip_back
+        header_path = os.path.join(index_path, "header.json")
+        if os.path.exists(header_path):
+            with open(header_path) as f:
+                header = json.load(f)
+            header["calibration"] = cal
+            with open(header_path, "w") as f:
+                json.dump(header, f)
     if compute_recall:
         infos.update(score_index(index, shards, queries=queries, gt=gt))
     with open(infos_path, "w") as f:
@@ -427,6 +456,8 @@ def clip_index(
     compute_recall: bool = True,
     refine: bool | None = None,  # None = autotune decides (use_refine)
     nb_cores: int | None = None,  # accepted for CLI parity
+    target_recall: float = 0.95,  # calibration contract (autofaiss default)
+    max_nprobe: int = 256,  # calibration search cap; raise for 10M+ corpora
 ):
     """Build image/text indices from an inference output folder."""
     if current_memory_available != "16G":
@@ -453,6 +484,8 @@ def clip_index(
             nprobe,
             compute_recall,
             refine,
+            target_recall,
+            max_nprobe,
         )
     if os.path.exists(txt_path):
         quantize(
@@ -464,6 +497,8 @@ def clip_index(
             nprobe,
             compute_recall,
             refine,
+            target_recall,
+            max_nprobe,
         )
     metadata_src = os.path.join(embeddings_folder, "metadata")
     if copy_metadata and os.path.exists(metadata_src):

@@ -3,10 +3,13 @@
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 from .flat import FlatIndex
 from .ivfpq import IVFPQIndex
+
+LOGGER = logging.getLogger("clip_back")
 
 
 def load_index(
@@ -22,7 +25,24 @@ def load_index(
     if not os.path.exists(header_path):
         raise FileNotFoundError(f"no index header at {header_path}")
     with open(header_path) as f:
-        kind = json.load(f)["type"]
+        header = json.load(f)
+    kind = header["type"]
+    cal = header.get("calibration")
+    if cal and cal.get("target_missed"):
+        # the build's nprobe calibration shipped below its recall contract
+        # (build.py stamps the outcome into the header) — surface it where
+        # the operator will see it: at serving/CLI load time
+        LOGGER.warning(
+            "index %s MISSED its recall target at build time: recall@%s = "
+            "%.3f < %.2f at nprobe=%s (calibration capped at max_nprobe) — "
+            "rebuild with more nlist, a higher max_nprobe, or the refine "
+            "tier, or serve with an explicit larger nprobe",
+            path,
+            cal.get("recall_k"),
+            cal.get("recall_achieved", float("nan")),
+            cal.get("target_recall", float("nan")),
+            cal.get("nprobe"),
+        )
     if sharded is None:
         sharded = os.environ.get("CRT_SHARDED_IVF") == "1"
     if kind == "flat":

