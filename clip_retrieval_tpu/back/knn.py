@@ -14,7 +14,6 @@ cached on first use.
 from __future__ import annotations
 
 import base64
-import functools
 import math
 import os
 import ssl

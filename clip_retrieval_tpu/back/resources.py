@@ -9,7 +9,7 @@ import dataclasses
 import json
 import logging
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 from ..index.store import load_index
 from ..models import safety as safety_mod

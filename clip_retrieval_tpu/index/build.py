@@ -24,7 +24,6 @@ import os
 import shutil
 import time
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import kmeans as kmeans_ops

@@ -20,7 +20,6 @@ import queue
 import threading
 import time
 from collections import defaultdict
-from typing import Any
 
 
 class LoggerWriter:

@@ -27,7 +27,7 @@ import tarfile
 from concurrent.futures import ThreadPoolExecutor
 from collections import deque
 from pathlib import Path
-from typing import Any, Callable, Iterator, Sequence
+from typing import Any, Iterator, Sequence
 
 import numpy as np
 

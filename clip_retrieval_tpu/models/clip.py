@@ -19,7 +19,6 @@ TPU-first implementation:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax

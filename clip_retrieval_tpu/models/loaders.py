@@ -14,7 +14,7 @@ All conversion is numpy-only; torch tensors are accepted and detached.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Mapping
 
 import jax.numpy as jnp
 import numpy as np

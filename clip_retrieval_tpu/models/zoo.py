@@ -17,7 +17,6 @@ cache), else the byte-level fallback (exact for the test-tiny config).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ inference; contrastive training adds all_gathers — see `train.py`).
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import numpy as np

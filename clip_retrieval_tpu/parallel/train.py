@@ -19,8 +19,6 @@ Parallelism layout (idiomatic jit-with-shardings — XLA inserts collectives):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ including nesting.
 
 from __future__ import annotations
 
-import itertools
 import re
 from typing import List
 
