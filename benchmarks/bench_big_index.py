@@ -1,0 +1,509 @@
+"""100M-tier rehearsal: shard-build → index_combiner → serve at 30M×512.
+
+VERDICT r3 weak #3: the int8 tier and the combiner talk about the 100M
+tier but the largest executed build was 10M and combines were toy-sized.
+This bench rehearses the whole tier for real at ≥30M vectors:
+
+  1. corpus: 30M×512 fp16 clustered shards on disk (reuses/extends the
+     bench_index_10m clustered corpus — same generator, same law);
+  2. train: coarse k-means ONCE on a sample (the tier's train-once /
+     encode-per-shard contract, same as the reference's faiss
+     merge_ondisk flow: train on one machine, encode shards anywhere —
+     `clip_back_prepro/index_combiner.py:10-26`, docs/laion5B_h14_back.md);
+  3. shard builds: IVFInt8Index.from_vectors(coarse=, id_offset=) per
+     10M-row corpus slice, disk-backed scratch, saved like a real
+     multi-host run would;
+  4. combine: index_combiner over the shard dirs → populated.index,
+     wall-clock + peak RSS measured;
+  5. serve:
+     - single-chip tier: one 10M shard on the real TPU (the merged 30M
+       int8 image is ~17.5 GB with chunk padding — OVER the 16 GB v5e
+       HBM; the measured single-chip ceiling is ~20M×512, which is
+       exactly why the 100M tier is the MESH tier — see
+       docs/big_index_serving.md), QPS at b ∈ {1,16,64} + recall@10
+       against shard-local exact ground truth;
+     - mesh tier: the merged 30M index on the 8-virtual-device CPU mesh
+       (ShardedIVFInt8Index), recall@10 vs global exact ground truth —
+       the same sharded program that runs on a real v5e-8.
+
+Each phase runs in its own subprocess so peak-RSS numbers are per-phase,
+and every phase is resumable (skips work whose artifact exists).
+
+    python benchmarks/bench_big_index.py --root /root/bench_artifacts/big30m \
+        --corpus /tmp/bench10m_XXXX [--phase all]
+"""
+
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
+)
+
+# env overrides exist so the whole flow can be smoke-tested at toy scale
+# (tests/test_index/test_big_rehearsal_smoke.py) — the defaults are the
+# real rehearsal
+N = int(os.environ.get("CRT_BIG_N", 30_000_000))
+D = int(os.environ.get("CRT_BIG_D", 512))
+GEN_SHARD = int(  # must match bench_index_10m's shard_rows for reuse
+    os.environ.get("CRT_BIG_GEN_SHARD", 1 << 21)
+)
+BUILD_SHARDS = 3  # 10M rows each: the measured single-chip int8 ceiling
+NLIST = int(os.environ.get("CRT_BIG_NLIST", 16_384))
+CLUSTERS = int(  # matches the reused clustered-10M corpus draw
+    os.environ.get("CRT_BIG_CLUSTERS", 50_000)
+)
+
+
+def _rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def _log(msg):
+    print(f"[big30m +{time.time() - T0:6.0f}s] {msg}", flush=True)
+
+
+T0 = time.time()
+
+
+# --------------------------------------------------------------------------
+# phase: gen — extend the reused corpus folder to N rows (idempotent)
+# --------------------------------------------------------------------------
+
+def phase_gen(corpus: str, root: str):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_index_10m import make_corpus
+
+    os.makedirs(corpus, exist_ok=True)
+    # which gen shards already exist with the right row count?
+    needed = -(-N // GEN_SHARD)
+    todo = []
+    for si in range(needed):
+        rows = min(GEN_SHARD, N - si * GEN_SHARD)
+        p = os.path.join(corpus, f"emb_{si:04d}.npy")
+        ok = False
+        if os.path.exists(p):
+            a = np.load(p, mmap_mode="r")
+            ok = a.shape == (rows, D)
+            del a
+        if not ok:
+            todo.append(si)
+    _log(f"gen: {needed - len(todo)}/{needed} shards reusable, "
+         f"{len(todo)} to draw")
+    if todo:
+        q = make_corpus(
+            corpus, N, D, 64, clusters=CLUSTERS, within=0.4,
+            shard_rows=GEN_SHARD, skip_shards=set(range(needed)) - set(todo),
+        )
+    else:
+        q = None
+    qpath = os.path.join(root, "queries_30m.npz")
+    if not os.path.exists(qpath):
+        if q is None:
+            # queries drawn around cluster centers, same recipe as
+            # make_corpus's held-out draw
+            q = make_corpus(  # draws only queries when every shard exists
+                corpus, N, D, 64, clusters=CLUSTERS, within=0.4,
+                shard_rows=GEN_SHARD,
+                skip_shards=set(range(needed)),
+            )
+        np.savez(qpath, q=q.astype(np.float32))
+    _log(f"gen done (peak rss {_rss_gb():.1f} GB)")
+
+
+# --------------------------------------------------------------------------
+# phase: assemble — 15 gen files → BUILD_SHARDS big memmaps (streaming)
+# --------------------------------------------------------------------------
+
+def phase_assemble(corpus: str, root: str):
+    shard_rows = N // BUILD_SHARDS
+    gen_paths = [
+        os.path.join(corpus, f"emb_{si:04d}.npy")
+        for si in range(-(-N // GEN_SHARD))
+    ]
+    os.makedirs(os.path.join(root, "corpus30m"), exist_ok=True)
+    row = 0
+    src_i, src_off = 0, 0
+    for bi in range(BUILD_SHARDS):
+        rows = shard_rows if bi < BUILD_SHARDS - 1 else N - row
+        dst_path = os.path.join(root, "corpus30m", f"part_{bi:02d}.npy")
+        if os.path.exists(dst_path):
+            a = np.load(dst_path, mmap_mode="r")
+            if a.shape == (rows, D):
+                _log(f"assemble: part {bi} exists, skipping")
+                row += rows
+                # advance source cursor past these rows
+                left = rows
+                while left:
+                    src = np.load(gen_paths[src_i], mmap_mode="r")
+                    take = min(left, src.shape[0] - src_off)
+                    src_off += take
+                    left -= take
+                    if src_off == src.shape[0]:
+                        src_i += 1
+                        src_off = 0
+                continue
+            del a
+        dst = np.lib.format.open_memmap(
+            dst_path + ".tmp", mode="w+", dtype=np.float16, shape=(rows, D)
+        )
+        filled = 0
+        while filled < rows:
+            src = np.load(gen_paths[src_i], mmap_mode="r")
+            take = min(rows - filled, src.shape[0] - src_off)
+            # stream in bounded chunks: both sides are memmaps
+            for o in range(0, take, 1 << 20):
+                c = min(1 << 20, take - o)
+                dst[filled + o : filled + o + c] = src[
+                    src_off + o : src_off + o + c
+                ]
+            filled += take
+            src_off += take
+            if src_off == src.shape[0]:
+                src_i += 1
+                src_off = 0
+        dst.flush()
+        del dst
+        os.replace(dst_path + ".tmp", dst_path)
+        row += rows
+        _log(f"assemble: part {bi} ({rows} rows) written "
+             f"(rss {_rss_gb():.1f} GB)")
+
+
+# --------------------------------------------------------------------------
+# phase: train — coarse centroids on a sample (once for all shards)
+# --------------------------------------------------------------------------
+
+def phase_train(root: str):
+    from clip_retrieval_tpu.ops import kmeans as km
+
+    cpath = os.path.join(root, "coarse.npy")
+    if os.path.exists(cpath):
+        _log("train: coarse.npy exists, skipping")
+        return
+    parts = sorted(
+        os.path.join(root, "corpus30m", p)
+        for p in os.listdir(os.path.join(root, "corpus30m"))
+        if p.endswith(".npy")
+    )
+    # ~64 rows/list training sample, drawn evenly from every part
+    sample_rows = min(1 << 20, N)
+    per = sample_rows // len(parts)
+    rng = np.random.default_rng(11)
+    blocks = []
+    for p in parts:
+        a = np.load(p, mmap_mode="r")
+        take = min(per, a.shape[0])
+        idx = np.sort(rng.choice(a.shape[0], size=take, replace=False))
+        blocks.append(np.asarray(a[idx], np.float32))
+        del a
+    sample = np.concatenate(blocks)
+    t0 = time.time()
+    coarse = np.asarray(km.kmeans(sample, NLIST, niter=15, seed=5))
+    np.save(cpath, coarse)
+    _log(f"train: k-means {sample.shape} -> {NLIST} lists in "
+         f"{time.time() - t0:.0f}s (rss {_rss_gb():.1f} GB)")
+
+
+# --------------------------------------------------------------------------
+# phase: shards — per-slice int8 builds against the shared centroids
+# --------------------------------------------------------------------------
+
+def phase_shards(root: str):
+    from clip_retrieval_tpu.index.ivf_int8 import IVFInt8Index
+
+    coarse = np.load(os.path.join(root, "coarse.npy"))
+    parts = sorted(
+        os.path.join(root, "corpus30m", p)
+        for p in os.listdir(os.path.join(root, "corpus30m"))
+        if p.endswith(".npy")
+    )
+    os.makedirs(os.path.join(root, "shards"), exist_ok=True)
+    offset = 0
+    timings = []
+    for bi, p in enumerate(parts):
+        out = os.path.join(root, "shards", f"shard_{bi:02d}")
+        x = np.load(p, mmap_mode="r")
+        if os.path.exists(os.path.join(out, "header.json")):
+            _log(f"shards: shard {bi} exists, skipping")
+            offset += x.shape[0]
+            continue
+        t0 = time.time()
+        ix = IVFInt8Index.from_vectors(
+            x, nlist=NLIST, nprobe=64, coarse=coarse, id_offset=offset
+        )
+        build_s = time.time() - t0
+        t0 = time.time()
+        ix.save(out)
+        save_s = time.time() - t0
+        timings.append(
+            {"shard": bi, "rows": int(x.shape[0]),
+             "build_s": round(build_s, 1), "save_s": round(save_s, 1),
+             "peak_rss_gb": round(_rss_gb(), 2)}
+        )
+        _log(f"shards: shard {bi} built {build_s:.0f}s saved {save_s:.0f}s "
+             f"(rss {_rss_gb():.1f} GB)")
+        offset += x.shape[0]
+        del ix, x
+    with open(os.path.join(root, "shard_timings.json"), "w") as f:
+        json.dump(timings, f, indent=1)
+
+
+# --------------------------------------------------------------------------
+# phase: combine — index_combiner over the shard dirs
+# --------------------------------------------------------------------------
+
+def phase_combine(root: str):
+    from clip_retrieval_tpu.index.combiner import index_combiner
+
+    merged_dir = os.path.join(root, "merged")
+    if os.path.exists(os.path.join(merged_dir, "populated.index",
+                                   "header.json")):
+        _log("combine: merged index exists, skipping")
+        return
+    t0 = time.time()
+    merged = index_combiner(os.path.join(root, "shards"), merged_dir)
+    out = {
+        "combine_s": round(time.time() - t0, 1),
+        "ntotal": int(merged.ntotal),
+        "nlist": int(merged.nlist),
+        "peak_rss_gb": round(_rss_gb(), 2),
+    }
+    with open(os.path.join(root, "combine_stats.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    _log(f"combine: {out}")
+
+
+# --------------------------------------------------------------------------
+# phase: gt — exact ground truth, global + per-first-shard (streamed)
+# --------------------------------------------------------------------------
+
+def phase_gt(root: str):
+    import jax
+    import jax.numpy as jnp
+
+    gtpath = os.path.join(root, "gt.npz")
+    if os.path.exists(gtpath):
+        _log("gt: exists, skipping")
+        return
+    q = np.load(os.path.join(root, "queries_30m.npz"))["q"]
+    qd = jnp.asarray(q)
+    parts = sorted(
+        os.path.join(root, "corpus30m", p)
+        for p in os.listdir(os.path.join(root, "corpus30m"))
+        if p.endswith(".npy")
+    )
+    k = 10
+    chunk = 1 << 21
+
+    @jax.jit
+    def topk_chunk(qd, block):
+        scores = qd @ block.T.astype(jnp.float32)
+        return jax.lax.top_k(scores, k)
+
+    def merge(vals, ids, nv, ni):
+        av = np.concatenate([vals, nv], axis=1)
+        ai = np.concatenate([ids, ni], axis=1)
+        sel = np.argsort(-av, axis=1)[:, :k]
+        r = np.arange(av.shape[0])[:, None]
+        return av[r, sel], ai[r, sel]
+
+    g_vals = np.full((q.shape[0], k), -np.inf, np.float32)
+    g_ids = np.full((q.shape[0], k), -1, np.int64)
+    shard_gt = {}
+    base = 0
+    for bi, p in enumerate(parts):
+        a = np.load(p, mmap_mode="r")
+        s_vals = np.full((q.shape[0], k), -np.inf, np.float32)
+        s_ids = np.full((q.shape[0], k), -1, np.int64)
+        for o in range(0, a.shape[0], chunk):
+            block = np.asarray(a[o : o + chunk])
+            nv, ni = topk_chunk(qd, jnp.asarray(block))
+            nv = np.asarray(nv)
+            ni = np.asarray(ni, np.int64) + (base + o)
+            s_vals, s_ids = merge(s_vals, s_ids, nv, ni)
+        g_vals, g_ids = merge(g_vals, g_ids, s_vals, s_ids)
+        shard_gt[f"shard{bi}_ids"] = s_ids
+        base += a.shape[0]
+        _log(f"gt: part {bi} scanned (rss {_rss_gb():.1f} GB)")
+        del a
+    np.savez(gtpath, global_ids=g_ids, **shard_gt)
+    _log("gt: written")
+
+
+# --------------------------------------------------------------------------
+# phase: serve_chip — single-chip QPS + recall on shard 0 (real TPU)
+# --------------------------------------------------------------------------
+
+def phase_serve_chip(root: str):
+    import jax
+
+    from clip_retrieval_tpu.index.ivf_int8 import IVFInt8Index
+
+    ix = IVFInt8Index.load(os.path.join(root, "shards", "shard_00"))
+    q = np.load(os.path.join(root, "queries_30m.npz"))["q"]
+    gt = np.load(os.path.join(root, "gt.npz"))["shard0_ids"]
+    from clip_retrieval_tpu.index.build import _recall_vs_gt
+
+    t0 = time.time()
+    _ = ix.search(q[:1], 10)  # device image upload + compile
+    _log(f"serve_chip: warmup {time.time() - t0:.0f}s")
+    rows = {"rows": int(ix.ntotal),
+            "platform": jax.devices()[0].platform, "qps": [],
+            "recall": {}}
+    nprobes = [p for p in (16, 32, 64, 128) if p <= NLIST]
+    for nprobe in nprobes:
+        ix.nprobe = nprobe
+        got = ix.search(q, 10)[1]
+        rows["recall"][str(nprobe)] = round(_recall_vs_gt(gt, got), 4)
+    _log(f"serve_chip: recall curve {rows['recall']}")
+    # pick the smallest nprobe reaching 0.95, else the largest probed
+    chosen = next(
+        (p for p in nprobes if rows["recall"][str(p)] >= 0.95),
+        nprobes[-1],
+    )
+    ix.nprobe = chosen
+    rows["nprobe"] = chosen
+    for B in (1, 16, 64):
+        qb = q[:B]
+        for _ in range(3):
+            ix.search(qb, 10)
+        t0 = time.time()
+        iters = 20 if B <= 16 else 10
+        for _ in range(iters):
+            ix.search(qb, 10)
+        dt = (time.time() - t0) / iters
+        rows["qps"].append(
+            {"batch": B, "search_qps": round(B / dt, 1),
+             "ms_per_query": round(dt / B * 1e3, 3)}
+        )
+        _log(f"serve_chip: {rows['qps'][-1]}")
+    rows["peak_rss_gb"] = round(_rss_gb(), 2)
+    with open(os.path.join(root, "serve_chip.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+# --------------------------------------------------------------------------
+# phase: serve_mesh — merged 30M on the 8-device CPU mesh (recall proof)
+# --------------------------------------------------------------------------
+
+def phase_serve_mesh(root: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from clip_retrieval_tpu.index.build import _recall_vs_gt
+    from clip_retrieval_tpu.index.store import load_index
+
+    ix = load_index(
+        os.path.join(root, "merged", "populated.index"), sharded=True
+    )
+    q = np.load(os.path.join(root, "queries_30m.npz"))["q"]
+    gt = np.load(os.path.join(root, "gt.npz"))["global_ids"]
+    out = {"rows": int(ix.ntotal), "devices": len(jax.devices()),
+           "recall": {}}
+    nq = 64  # CPU mesh: correctness/recall evidence, not throughput
+    for nprobe in [p for p in (32, 64, 128) if p <= NLIST]:
+        ix.nprobe = nprobe
+        t0 = time.time()
+        got = ix.search(q[:nq], 10)[1]
+        out["recall"][str(nprobe)] = {
+            "recall@10": round(_recall_vs_gt(gt[:nq], got), 4),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        _log(f"serve_mesh: nprobe={nprobe} {out['recall'][str(nprobe)]}")
+    out["peak_rss_gb"] = round(_rss_gb(), 2)
+    with open(os.path.join(root, "serve_mesh.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+PHASES = {
+    "gen": phase_gen,
+    "assemble": phase_assemble,
+    "train": phase_train,
+    "shards": phase_shards,
+    "combine": phase_combine,
+    "gt": phase_gt,
+    "serve_chip": phase_serve_chip,
+    "serve_mesh": phase_serve_mesh,
+}
+# phases that must run on the CPU mesh (fresh env, 8 virtual devices)
+CPU_PHASES = {"serve_mesh"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--corpus", required=True,
+                    help="gen-shard folder (reused/extended in place)")
+    ap.add_argument("--phase", default="all")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "big_index_tpu.json"),
+    )
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+
+    if args.phase == "all":
+        results = {}
+        for name in PHASES:
+            env = dict(os.environ)
+            if name in CPU_PHASES:
+                env["JAX_PLATFORMS"] = "cpu"
+                env["XLA_FLAGS"] = (
+                    env.get("XLA_FLAGS", "")
+                    + " --xla_force_host_platform_device_count=8"
+                )
+                # drop the axon sitecustomize so the cpu platform wins
+                env["PYTHONPATH"] = os.pathsep.join(
+                    p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                    if "axon" not in p
+                )
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--root", args.root, "--corpus", args.corpus,
+                 "--phase", name],
+                env=env,
+            )
+            results[name] = {
+                "wall_s": round(time.time() - t0, 1),
+                "rc": r.returncode,
+            }
+            if r.returncode:
+                print(json.dumps({"failed": name, **results}))
+                sys.exit(1)
+        # final summary JSON for benchmarks/
+        summary = {"metric": "big_index_30m_rehearsal", "n": N, "d": D,
+                   "nlist": NLIST, "build_shards": BUILD_SHARDS,
+                   "phase_wall_s": {k: v["wall_s"] for k, v in
+                                    results.items()}}
+        for f_ in ("shard_timings", "combine_stats", "serve_chip",
+                   "serve_mesh"):
+            p = os.path.join(args.root, f_ + ".json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    summary[f_] = json.load(fh)
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+        print(json.dumps(summary))
+        print(f"wrote {args.out}")
+        return
+    if args.phase in ("gen",):
+        PHASES[args.phase](args.corpus, args.root)
+    elif args.phase in ("assemble",):
+        PHASES[args.phase](args.corpus, args.root)
+    else:
+        PHASES[args.phase](args.root)
+
+
+if __name__ == "__main__":
+    main()

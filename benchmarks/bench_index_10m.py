@@ -28,7 +28,7 @@ os.environ.setdefault(
 
 def make_corpus(
     folder, n, d, intrinsic, seed=0, shard_rows=1 << 21,
-    clusters=0, within=0.4,
+    clusters=0, within=0.4, skip_shards=frozenset(),
 ):
     """Unit-norm rows x = unit(z @ W + eps), z ~ N(0, I_r): intrinsic dim r
     inside ambient dim d.  Written as fp16 npy shards (the pipeline's
@@ -130,6 +130,8 @@ def make_corpus(
         return out
 
     for si, start in enumerate(range(0, n, shard_rows)):
+        if si in skip_shards:  # resumable top-up (bench_big_index reuse)
+            continue
         rows = min(shard_rows, n - start)
         x = draw_np(jax.random.fold_in(key, si), start, rows)
         np.save(os.path.join(folder, f"emb_{si:04d}.npy"), x)

@@ -273,7 +273,19 @@ class IVFInt8Index:
         seed: int = 0,
         refine: bool = False,
         refine_source=None,
+        coarse: np.ndarray | None = None,
+        id_offset: int = 0,
     ) -> "IVFInt8Index":
+        """Build from raw vectors.  With `coarse` given, k-means training
+        is skipped and the provided centroids are used — the shard-build
+        mode of the 100M tier, where one host trains the coarse quantizer
+        and every shard encodes against it so `index_combiner` can merge
+        the results (the same train-once-encode-per-shard contract as the
+        reference's faiss merge_ondisk flow,
+        `clip_back_prepro/index_combiner.py:10-26` + docs/laion5B_h14_back
+        .md).  `id_offset` shifts this shard's vector ids so shard id
+        ranges tile the global corpus (shard i of rows [lo, hi) passes
+        id_offset=lo)."""
         from ..ops import kmeans as km
 
         # test disk-backing BEFORE any asarray: np.asarray strips the
@@ -283,7 +295,13 @@ class IVFInt8Index:
         if not is_disk:
             x = np.asarray(x, np.float32)
         n, d = x.shape
-        coarse = km.kmeans(x, nlist, niter=kmeans_niter, seed=seed)
+        if coarse is None:
+            coarse = km.kmeans(x, nlist, niter=kmeans_niter, seed=seed)
+        elif coarse.shape != (nlist, d):
+            raise ValueError(
+                f"pretrained coarse centroids {coarse.shape} do not match "
+                f"(nlist={nlist}, d={d})"
+            )
         assign = km.assign_chunked(x, coarse)
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=nlist)
@@ -316,6 +334,17 @@ class IVFInt8Index:
             # over the original fp16 shards) is used as-is — those shards
             # already hold exactly these rows, so copying them into a
             # second corpus-sized scratch memmap would only burn disk
+            if id_offset and refine_source is None:
+                # a local copy of x would be indexed 0..n-1 while this
+                # shard's ids are global (offset) — rerank lookups would
+                # silently read the wrong rows or raise; the shard-build
+                # mode must pass a GLOBAL refine_source (e.g. a
+                # ShardRowGather over the whole corpus)
+                raise ValueError(
+                    "refine=True with id_offset needs refine_source "
+                    "indexed by GLOBAL id (refine rows are looked up by "
+                    "vector id)"
+                )
             if refine_source is not None:
                 refine_vectors = refine_source
             elif is_disk:
@@ -331,11 +360,14 @@ class IVFInt8Index:
                     )
             else:
                 refine_vectors = x.astype(np.float16)
+        ids = order.astype(np.int64)
+        if id_offset:
+            ids += id_offset
         return cls(
             d,
             np.asarray(coarse),
             offsets,
-            order.astype(np.int64),
+            ids,
             q,
             s,
             nprobe=nprobe,
