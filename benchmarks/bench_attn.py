@@ -52,6 +52,7 @@ def main():
         "B32": configs.VIT_B32,
         "B16": configs.VIT_B16,
         "L14": configs.VIT_L14,
+        "L14_336": configs.VIT_L14_336,
         "H14": configs.VIT_H14,
     }
     rng = np.random.default_rng(0)
@@ -70,10 +71,18 @@ def main():
             for _ in range(4)
         ]
         ref_out = None
-        for impl in ("xla", "xla_bf16", "flash"):
+        impls = ["xla", "xla_bf16", "flash"]
+        if cfg.vision_head_dim % 64:
+            # ragged-dh towers (H/14): A/B both packed kernel bodies —
+            # unaligned lane slices vs in-VMEM batched relayout
+            impls.append("flash_batched")
+        for impl in impls:
+            variant = "batched" if impl == "flash_batched" else "slice"
+            os.environ["CRT_PACKED_VARIANT"] = variant
+            attn_impl = "flash" if impl.startswith("flash") else impl
 
             @jax.jit
-            def embed(p, x, impl=impl):
+            def embed(p, x, impl=attn_impl):
                 return jclip.encode_image(
                     p, cfg, x, compute_dtype=jnp.bfloat16, attn_impl=impl
                 ).astype(jnp.float16)
@@ -130,7 +139,10 @@ def main():
         results = [
             r for r in prior if (r["model"], r["impl"]) not in fresh
         ] + results
-        order = {m: i for i, m in enumerate(["B32", "B16", "L14", "H14"])}
+        order = {
+            m: i
+            for i, m in enumerate(["B32", "B16", "L14", "L14_336", "H14"])
+        }
         results.sort(key=lambda r: order.get(r["model"], 9))
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

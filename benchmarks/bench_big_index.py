@@ -123,13 +123,22 @@ def phase_gen(corpus: str, root: str):
 # phase: assemble — 15 gen files → BUILD_SHARDS big memmaps (streaming)
 # --------------------------------------------------------------------------
 
-def phase_assemble(corpus: str, root: str):
+def phase_assemble(corpus: str, root: str, reclaim: bool = False):
     shard_rows = N // BUILD_SHARDS
     gen_paths = [
         os.path.join(corpus, f"emb_{si:04d}.npy")
         for si in range(-(-N // GEN_SHARD))
     ]
     os.makedirs(os.path.join(root, "corpus30m"), exist_ok=True)
+
+    def consumed(i):
+        # reclaim disk as we go: once a gen shard is fully copied into a
+        # build part it is dead weight (the whole flow peaks ~90 GB on a
+        # ~110 GB disk without this)
+        if reclaim and os.path.exists(gen_paths[i]):
+            os.unlink(gen_paths[i])
+            _log(f"assemble: reclaimed {os.path.basename(gen_paths[i])}")
+
     row = 0
     src_i, src_off = 0, 0
     for bi in range(BUILD_SHARDS):
@@ -140,14 +149,16 @@ def phase_assemble(corpus: str, root: str):
             if a.shape == (rows, D):
                 _log(f"assemble: part {bi} exists, skipping")
                 row += rows
-                # advance source cursor past these rows
+                # advance source cursor past these rows (static sizes —
+                # the gen file may already be reclaimed on a resume)
                 left = rows
                 while left:
-                    src = np.load(gen_paths[src_i], mmap_mode="r")
-                    take = min(left, src.shape[0] - src_off)
+                    src_rows = min(GEN_SHARD, N - src_i * GEN_SHARD)
+                    take = min(left, src_rows - src_off)
                     src_off += take
                     left -= take
-                    if src_off == src.shape[0]:
+                    if src_off == src_rows:
+                        consumed(src_i)
                         src_i += 1
                         src_off = 0
                 continue
@@ -156,6 +167,9 @@ def phase_assemble(corpus: str, root: str):
             dst_path + ".tmp", mode="w+", dtype=np.float16, shape=(rows, D)
         )
         filled = 0
+        pending = []  # reclaim only AFTER this part is finalized: a gen
+        # shard can straddle two parts, and deleting it before os.replace
+        # would strand a resume that must rebuild the unfinished part
         while filled < rows:
             src = np.load(gen_paths[src_i], mmap_mode="r")
             take = min(rows - filled, src.shape[0] - src_off)
@@ -168,11 +182,15 @@ def phase_assemble(corpus: str, root: str):
             filled += take
             src_off += take
             if src_off == src.shape[0]:
+                del src
+                pending.append(src_i)
                 src_i += 1
                 src_off = 0
         dst.flush()
         del dst
         os.replace(dst_path + ".tmp", dst_path)
+        for i in pending:
+            consumed(i)
         row += rows
         _log(f"assemble: part {bi} ({rows} rows) written "
              f"(rss {_rss_gb():.1f} GB)")
@@ -444,6 +462,9 @@ def main():
     ap.add_argument("--corpus", required=True,
                     help="gen-shard folder (reused/extended in place)")
     ap.add_argument("--phase", default="all")
+    ap.add_argument("--reclaim", action="store_true",
+                    help="delete gen shards once copied into build parts "
+                         "(halves peak disk; gen shards are then gone)")
     ap.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -471,7 +492,8 @@ def main():
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--root", args.root, "--corpus", args.corpus,
-                 "--phase", name],
+                 "--phase", name]
+                + (["--reclaim"] if args.reclaim else []),
                 env=env,
             )
             results[name] = {
@@ -500,7 +522,7 @@ def main():
     if args.phase in ("gen",):
         PHASES[args.phase](args.corpus, args.root)
     elif args.phase in ("assemble",):
-        PHASES[args.phase](args.corpus, args.root)
+        PHASES[args.phase](args.corpus, args.root, reclaim=args.reclaim)
     else:
         PHASES[args.phase](args.root)
 

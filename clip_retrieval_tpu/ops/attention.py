@@ -109,12 +109,13 @@ def sdpa(
 
 
 def packed_ok(heads: int, width: int) -> bool:
-    """True when the packed Pallas kernel handles this head geometry:
-    64-lane-aligned head slices (dh % 64 == 0) and a workable grouping."""
+    """True when the packed Pallas kernel handles this head geometry: a
+    grouping exists whose lane-block width is a multiple of 128 (covers
+    dh=64 towers AND ragged dh like H/14's 80, where 8·80 = 5·128)."""
     from . import flash
 
     dh = width // heads
-    return dh % 64 == 0 and flash.packed_group(heads, dh) is not None
+    return flash.packed_group(heads, dh) is not None
 
 
 def sdpa_packed(
@@ -141,21 +142,28 @@ def sdpa_packed(
     use_packed = False
     if impl in ("auto", "flash") and _on_tpu():
         if os.environ.get("CRT_DISABLE_FLASH") != "1":
+            dh = q.shape[-1] // heads
             use_packed = (
                 q.dtype == jnp.bfloat16
                 and packed_ok(heads, q.shape[-1])
-                # only shapes measured on real Mosaic ride 'auto'; longer
-                # sequences (L/14@336's S=577) and the causal text path
-                # stay on the measured xla_bf16 route until benched —
-                # impl='flash' or CRT_FORCE_FLASH=1 forces them for A/B
-                # runs (the env var must force the SAME kernel 'auto'
-                # would adopt, or the A/B measures the wrong thing)
+                # only geometries measured on real Mosaic ride 'auto'
+                # (attn_tpu.json: dh set + seq cap); unmeasured head dims
+                # and the causal text path stay on the measured xla_bf16
+                # route until benched — impl='flash' or CRT_FORCE_FLASH=1
+                # forces them for A/B runs (the env var must force the
+                # SAME kernel 'auto' would adopt, or the A/B measures the
+                # wrong thing)
                 and (impl == "flash"
                      or os.environ.get("CRT_FORCE_FLASH") == "1"
-                     or (q.shape[1] <= flash.MAX_PACKED_SEQ and not causal))
+                     or (q.shape[1] <= flash.MAX_PACKED_SEQ
+                         and dh in flash.MEASURED_PACKED_DH
+                         and not causal))
             )
     if use_packed:
-        return flash.flash_attention_packed(q, k, v, heads, causal=causal)
+        return flash.flash_attention_packed(
+            q, k, v, heads, causal=causal,
+            variant=os.environ.get("CRT_PACKED_VARIANT", "slice"),
+        )
     b, s, w = q.shape
     dh = w // heads
     split = lambda x: x.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)

@@ -103,9 +103,10 @@ def _kern_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                  group: int, dh: int):
     """Heads live in the lane dimension: refs are (1, S, group·dh) slices
     of the packed (B, S, W) projection output.  Each head is a static
-    64-lane-aligned slice; the per-head logits scratch is reused across
-    the unrolled loop, so VMEM holds one (S, S) f32 tile regardless of
-    group."""
+    lane slice (64-aligned when dh % 64 == 0; ragged otherwise, e.g.
+    H/14's dh=80, where Mosaic lowers the slice to lane shuffles); the
+    per-head logits scratch is reused across the unrolled loop, so VMEM
+    holds one (S, S) f32 tile regardless of group."""
     for h in range(group):
         sl = slice(h * dh, (h + 1) * dh)
         o = _attend_2d(
@@ -115,11 +116,49 @@ def _kern_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
+def _kern_packed_batched(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         causal: bool, group: int, dh: int):
+    """Alternative body for ragged head dims (dh % 64 != 0): instead of
+    `group` unaligned lane slices, re-layout the whole (S, group·dh) tile
+    to (group, S, dh) once in VMEM and run ONE batched dot_general over
+    all heads.  The relayout is a register shuffle, not HBM traffic — the
+    point of the packed entry was avoiding the HBM head-transpose, and
+    that is still avoided here.  Which body wins at dh=80 is decided by
+    measurement (benchmarks/bench_attn.py --packed_ab), not assumed."""
+    s = q_ref.shape[1]
+    relay = lambda r: r[0].reshape(s, group, dh).transpose(1, 0, 2)
+    q, k, v = relay(q_ref), relay(k_ref), relay(v_ref)
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (G, S, Sk) f32
+    if causal:
+        g, sq, sk = logits.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, sq, sk), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, sq, sk), 1)
+        logits = jnp.where(col <= row, logits, -1e30)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, S, dh)
+    o_ref[0, :, :] = o.transpose(1, 0, 2).reshape(s, group * dh).astype(
+        o_ref.dtype
+    )
+
+
 # Longest sequence the packed kernel has been MEASURED at on real Mosaic
-# (attn_tpu.json: S=50/77/257 all win or tie).  L/14@336's S=577 has
-# 1.33 MB f32 logits per head iteration and an unverified scratch-reuse
-# assumption — it stays on the measured xla_bf16 path until benched.
+# (attn_tpu.json: S=50/77/257 all win or tie).  L/14@336's S=577 stays on
+# the measured xla_bf16 path until bench_attn.py --models L14_336 lands.
 MAX_PACKED_SEQ = 257
+
+# Head dims the packed kernel has been MEASURED to win at on real Mosaic
+# (attn_tpu.json).  dh=64 covers B/32, B/16, L/14; dh=80 is H/14, whose
+# ragged lane slices now compile in both kernel bodies but ride 'auto'
+# only after bench_attn.py --models H14 shows a win.
+MEASURED_PACKED_DH = frozenset({64})
 
 
 def packed_group(heads: int, dh: int) -> int | None:
@@ -134,10 +173,13 @@ def packed_group(heads: int, dh: int) -> int | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "causal", "group"))
+@functools.partial(
+    jax.jit, static_argnames=("heads", "causal", "group", "variant")
+)
 def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            heads: int, *, causal: bool = False,
-                           group: int | None = None) -> jax.Array:
+                           group: int | None = None,
+                           variant: str = "slice") -> jax.Array:
     """Fused attention on the PACKED layout: q,k,v are (B, S, W) with
     W = heads·head_dim, exactly as the attention projections emit them.
 
@@ -148,6 +190,10 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     in-model loss.  Consuming the packed layout directly (heads as static
     lane slices inside the kernel) removes them entirely: full-model
     658 → 745 img/s (+13%) vs the XLA bf16-logits path, min cos 0.99987.
+
+    variant: 'slice' (per-head lane slices, the measured dh=64 winner) or
+    'batched' (one in-VMEM relayout + batched dot across the group — the
+    ragged-dh alternative A/B'd by bench_attn.py for H/14's dh=80).
     """
     b, s, w = q.shape
     dh = w // heads
@@ -157,8 +203,9 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     if heads % g:
         # grid truncation would silently leave lanes g*dh.. uninitialized
         raise ValueError(f"group={g} does not divide heads={heads}")
+    body = _kern_packed_batched if variant == "batched" else _kern_packed
     kernel = functools.partial(
-        _kern_packed, scale=dh ** -0.5, causal=causal, group=g, dh=dh
+        body, scale=dh ** -0.5, causal=causal, group=g, dh=dh
     )
     interpret = jax.devices()[0].platform != "tpu"
     sk = k.shape[1]

@@ -42,10 +42,13 @@ def test_rehearsal_all_phases(tmp_path):
         [sys.executable, os.path.abspath(BENCH),
          "--root", str(tmp_path / "root"),
          "--corpus", str(tmp_path / "corpus"),
-         "--phase", "all", "--out", out],
+         "--phase", "all", "--out", out, "--reclaim"],
         env=env, capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    # --reclaim: every gen shard was consumed into a build part and deleted
+    assert not [p for p in os.listdir(tmp_path / "corpus")
+                if p.startswith("emb_")]
     with open(out) as f:
         summary = json.load(f)
     assert summary["n"] == 30000

@@ -27,10 +27,15 @@ def test_flash_matches_reference(shape, causal):
 
 
 # zoo head geometries: (heads, dh) — B/32|B/16 (12, 64), L/14 (16, 64),
-# text towers (8, 64); H/14's dh=80 is not 64-lane aligned and must fall back
+# text towers (8, 64), H/14 image tower (16, 80: ragged lane slices),
+# L/14@336 (16, 64, S=577)
+@pytest.mark.parametrize("variant", ["slice", "batched"])
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("heads,dh,seq", [(12, 64, 50), (16, 64, 257), (8, 64, 77)])
-def test_packed_matches_reference(heads, dh, seq, causal):
+@pytest.mark.parametrize(
+    "heads,dh,seq",
+    [(12, 64, 50), (16, 64, 257), (8, 64, 77), (16, 80, 257), (16, 64, 577)],
+)
+def test_packed_matches_reference(heads, dh, seq, causal, variant):
     rng = np.random.default_rng(1)
     b, w = 2, heads * dh
     q, k, v = (
@@ -40,7 +45,9 @@ def test_packed_matches_reference(heads, dh, seq, causal):
     split = lambda x: x.reshape(b, seq, heads, dh).transpose(0, 2, 1, 3)
     ref = np.asarray(sdpa_reference(split(q), split(k), split(v), causal=causal))
     ref = ref.transpose(0, 2, 1, 3).reshape(b, seq, w)
-    got = np.asarray(flash_attention_packed(q, k, v, heads, causal=causal))
+    got = np.asarray(
+        flash_attention_packed(q, k, v, heads, causal=causal, variant=variant)
+    )
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
@@ -49,8 +56,7 @@ def test_packed_group_geometries():
     assert packed_group(16, 64) == 8  # L/14
     assert packed_group(12, 64) == 6  # B/32, B/16
     assert packed_group(8, 64) == 8  # 512-wide text towers
-    g = packed_group(16, 80)  # H/14 image tower geometry
-    assert g is None or (g * 80) % 128 == 0
+    assert packed_group(16, 80) == 8  # H/14: ragged dh, 8*80 = 5*128
     # no full-width escape hatch past _MAX_GROUP: unprovable geometries
     # must return None (the dispatcher then uses the XLA fallback)
     assert packed_group(9, 64) is None
@@ -73,7 +79,8 @@ def test_non_dividing_group_raises():
 
 
 def test_sdpa_packed_fallback_unaligned_heads():
-    # dh = 80 (H/14): packed kernel ineligible -> reshape fallback, still exact
+    # heads=4, dh=80: no grouping reaches a 128-multiple lane block
+    # (4·80=320), so the packed kernel is ineligible -> reshape fallback
     rng = np.random.default_rng(2)
     b, seq, heads, dh = 2, 10, 4, 80
     w = heads * dh
