@@ -187,10 +187,37 @@ def main():
         import asyncio
 
         asyncio.run(drive(args.port, args.clients, 20, args.num_images))
+        def get_json(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{args.port}{path}", timeout=120
+            ) as r:
+                return json.loads(r.read())
+
+        stats0 = get_json("/serving-stats")
         print("driving load...", flush=True)
         done, errors, lat = asyncio.run(
             drive(args.port, args.clients, args.seconds, args.num_images)
         )
+        stats1 = get_json("/serving-stats")
+        # device round-trip measured INSIDE the server process (the one
+        # holding the chip) — the per-batch cost this harness's relay adds
+        # that a PCIe-attached production host does not pay
+        rtt = get_json("/device-rtt")
+
+        def total_batches(s):
+            n = 0
+            for enc in s["encoders"].values():
+                n += enc["text"]["batches"] + enc["image"]["batches"]
+            for b in s["search"].values():
+                n += b["batches"]
+            return n
+
+        batches = total_batches(stats1) - total_batches(stats0)
+        rtt_s = rtt["p50_ms"] / 1e3
+        # upper bound on relay stall: every device batch paying one full
+        # un-overlapped round-trip (the pipelined micro-batcher overlaps
+        # readback with the next dispatch, so the true stall is lower)
+        relay_stall_s = min(batches * rtt_s, 0.9 * args.seconds)
         lat = np.sort(np.array(lat))
         import jax
 
@@ -206,8 +233,23 @@ def main():
             "model": "ViT-B/32 (random weights, real compute)",
             "reference_baseline_qps": 20,
             "platform": platform,
-            "note": "text encode on TPU through the ~65 ms harness relay; "
-            "micro-batching amortizes it across concurrent requests",
+            "device_rtt_ms_p50": rtt["p50_ms"],
+            "device_batches_in_window": batches,
+            "relay_stall_upper_bound_s": round(relay_stall_s, 1),
+            # what the same schedule yields when each device batch costs
+            # ~0 ms of dispatch+readback (PCIe host: device-rtt p50 is
+            # sub-ms there).  The stall estimate is an upper bound (the
+            # pipelined micro-batcher overlaps part of it), so this is the
+            # OPTIMISTIC end; the measured e2e qps is the pessimistic end.
+            # The PCIe-host number lies between the two.
+            "qps_relay_subtracted_upper": round(
+                done / max(args.seconds - relay_stall_s, 1e-3), 1
+            ),
+            "note": "e2e through the harness TPU relay; "
+            "qps_relay_subtracted_upper removes the measured per-batch "
+            "device round-trip a PCIe host does not pay (accounting "
+            "inputs: device_rtt_ms_p50 x device_batches_in_window); the "
+            "true PCIe-host QPS is bracketed by [qps, that]",
         }
         print(json.dumps(row), flush=True)
         out = os.path.join(

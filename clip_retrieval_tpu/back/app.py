@@ -102,6 +102,36 @@ class WsgiRouter:
             return [json.dumps({"error": str(e)}).encode()]
 
 
+def _device_rtt_probe(iters: int = 20) -> dict:
+    """Measure the host↔device dispatch+readback round-trip with a trivial
+    jitted op.  On a PCIe host this is sub-millisecond; behind this
+    harness's TPU relay it is the ~65 ms floor every un-pipelined device
+    batch pays — the serving bench reads it here (from inside the server
+    process, the only one holding the device) to subtract relay overhead
+    from its QPS accounting."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    op = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    float(op(x)[0])  # compile + first transfer outside the timed loop
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(op(x)[0])  # scalar readback forces the full round-trip
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return {
+        "platform": jax.devices()[0].platform,
+        "iters": iters,
+        "p50_ms": round(samples[len(samples) // 2] * 1e3, 3),
+        "p90_ms": round(samples[int(len(samples) * 0.9)] * 1e3, 3),
+        "min_ms": round(samples[0] * 1e3, 3),
+    }
+
+
 def make_app(
     clip_resources: Dict[str, Any],
     default_backend: str | None = None,
@@ -121,6 +151,8 @@ def make_app(
     router.route(
         "GET", "/metrics-summary", lambda: (metrics_summary_text(), "text/plain")
     )
+    router.route("GET", "/serving-stats", knn.serving_stats)
+    router.route("GET", "/device-rtt", _device_rtt_probe)
     router.mount("/metrics", make_wsgi_app())
 
     from ..front import add_static_routes

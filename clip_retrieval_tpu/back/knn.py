@@ -122,7 +122,12 @@ class _Encoders:
         self._encode_image = encode_image
         self._jnp = jnp
 
-        def run_text_batch(texts):
+        # dispatch/finish split (MicroBatcher pipelining): dispatch stops at
+        # the ASYNC jit call — JAX queues the computation and returns an
+        # un-materialized array — and finish does the blocking readback.
+        # Batch N+1's tokenize + dispatch then overlaps batch N's readback
+        # (one relay round-trip each in this harness).
+        def dispatch_text_batch(texts):
             tokens = self.bundle.tokenize(list(texts))
             n = tokens.shape[0]
             pad = _bucket(n) - n
@@ -130,12 +135,9 @@ class _Encoders:
                 tokens = np.concatenate(
                     [tokens, np.zeros((pad, tokens.shape[1]), tokens.dtype)]
                 )
-            feats = np.asarray(
-                encode_text(params, jnp.asarray(tokens))
-            ).astype(np.float32)[:n]
-            return [feats[i : i + 1] for i in range(n)]
+            return encode_text(params, jnp.asarray(tokens))
 
-        def run_image_batch(arrays):
+        def dispatch_image_batch(arrays):
             batch = np.stack(arrays)
             n = batch.shape[0]
             pad = _bucket(n) - n
@@ -143,16 +145,19 @@ class _Encoders:
                 batch = np.concatenate(
                     [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
                 )
-            feats = np.asarray(
-                encode_image(params, jnp.asarray(batch))
-            ).astype(np.float32)[:n]
+            return encode_image(params, jnp.asarray(batch))
+
+        def finish_batch(feats_dev, n):
+            feats = np.asarray(feats_dev).astype(np.float32)[:n]
             return [feats[i : i + 1] for i in range(n)]
 
         self._text_batcher = MicroBatcher(
-            run_text_batch, max_batch, max_wait_ms, name="text-encode"
+            dispatch_text_batch, max_batch, max_wait_ms, name="text-encode",
+            fn_finish=finish_batch,
         )
         self._image_batcher = MicroBatcher(
-            run_image_batch, max_batch, max_wait_ms, name="image-encode"
+            dispatch_image_batch, max_batch, max_wait_ms, name="image-encode",
+            fn_finish=finish_batch,
         )
 
     def warm(self, buckets=(1, 64)) -> None:
@@ -233,6 +238,29 @@ class KnnService:
         if batcher is None:  # cap reached: serve unbatched, never crash
             return index.search_and_reconstruct(query, k)
         return batcher.submit(query)
+
+    def serving_stats(self) -> dict:
+        """Micro-batcher counters (device batches executed / items served)
+        per encoder and search batcher.  `/serving-stats` exposes this so a
+        load harness can account device round-trips per request — e.g. the
+        HTTP bench subtracts the harness's ~65 ms relay RTT per batch to
+        estimate PCIe-host QPS (benchmarks/bench_serving_http.py)."""
+        out: dict = {"encoders": {}, "search": {}}
+        with self._lock:
+            encoders = dict(self._encoders)
+            searchers = dict(self._search_batchers)
+        for name, enc in encoders.items():
+            out["encoders"][name] = {
+                "text": {"batches": enc._text_batcher.n_batches,
+                         "items": enc._text_batcher.n_items},
+                "image": {"batches": enc._image_batcher.n_batches,
+                          "items": enc._image_batcher.n_items},
+            }
+        for (iid, k), b in searchers.items():
+            out["search"][f"{iid}-k{k}"] = {
+                "batches": b.n_batches, "items": b.n_items
+            }
+        return out
 
     def _enc(self, indice_name: str) -> _Encoders:
         # locked check-then-insert: two concurrent first requests would

@@ -151,6 +151,81 @@ def test_batch_fn_length_mismatch_raises():
     assert not any(o == ("ok", None) for o in outcomes)
 
 
+def test_pipelined_dispatch_finish_results_and_stats():
+    """Two-stage batcher: per-item results correct, counters advance."""
+    def dispatch(payloads):
+        return [p * 2 for p in payloads]  # 'handle' = computed values
+
+    def finish(handle, n):
+        assert len(handle) == n
+        return handle
+
+    mb = MicroBatcher(dispatch, max_batch=8, max_wait_ms=20,
+                      name="pipe", fn_finish=finish)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(12) as ex:
+        results = list(ex.map(mb.submit, range(12)))
+    assert results == [i * 2 for i in range(12)]
+    assert mb.n_items == 12 and 2 <= mb.n_batches <= 12
+
+
+def test_pipelined_overlaps_dispatch_with_finish():
+    """While batch N materializes (finish blocked), batch N+1 must still be
+    DISPATCHED — that overlap is the whole point of the two-stage design."""
+    gate = threading.Event()
+    dispatched = []
+
+    def dispatch(payloads):
+        dispatched.append(list(payloads))
+        return payloads
+
+    def finish(handle, n):
+        if dispatched and dispatched[0] == handle:
+            # first batch: block in finish until the test observes overlap
+            assert gate.wait(5)
+        return list(handle)
+
+    mb = MicroBatcher(dispatch, max_batch=1, max_wait_ms=1,
+                      name="overlap", fn_finish=finish)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(mb.submit, "a")
+        f2 = ex.submit(mb.submit, "b")
+        t0 = time.perf_counter()
+        while len(dispatched) < 2 and time.perf_counter() - t0 < 5:
+            time.sleep(0.005)
+        # batch 2 dispatched while batch 1 is stuck in finish
+        assert len(dispatched) == 2
+        gate.set()
+        assert sorted([f1.result(), f2.result()]) == ["a", "b"]
+
+
+def test_pipelined_errors_propagate_per_stage():
+    """A dispatch error and a finish error both reach the right waiters and
+    leave the batcher alive."""
+    import pytest
+
+    def dispatch(payloads):
+        if payloads[0] == "bad-dispatch":
+            raise ValueError("dispatch boom")
+        return payloads
+
+    def finish(handle, n):
+        if handle[0] == "bad-finish":
+            raise ValueError("finish boom")
+        return list(handle)
+
+    mb = MicroBatcher(dispatch, max_batch=1, max_wait_ms=1,
+                      name="pipe-err", fn_finish=finish)
+    with pytest.raises(ValueError, match="dispatch boom"):
+        mb.submit("bad-dispatch")
+    with pytest.raises(ValueError, match="finish boom"):
+        mb.submit("bad-finish")
+    assert mb.submit("ok") == "ok"
+
+
 def test_concurrent_first_requests_build_one_encoder_set():
     """The check-then-insert on KnnService._encoders is locked: concurrent
     first requests must share ONE _Encoders (a duplicate would leak a

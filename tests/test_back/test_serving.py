@@ -272,6 +272,32 @@ def test_error_on_empty_query(served):
     assert r["status"].startswith("400")
 
 
+def test_serving_stats_and_device_rtt(served):
+    """/serving-stats exposes micro-batcher counters (the serving bench's
+    relay accounting reads them) and /device-rtt measures the dispatch+
+    readback round-trip inside the serving process."""
+    r = request(
+        served["app"],
+        "POST",
+        "/knn-service",
+        {"text": "a stats query", "modality": "image", "num_images": 3,
+         "indice_name": "test_index"},
+    )
+    assert r["status"].startswith("200")
+    r = request(served["app"], "GET", "/serving-stats")
+    assert r["status"].startswith("200")
+    stats = r["json"]
+    enc = stats["encoders"]["test_index"]
+    assert enc["text"]["batches"] >= 1
+    assert enc["text"]["items"] >= enc["text"]["batches"]
+    assert stats["search"]  # at least one search batcher ran
+    r = request(served["app"], "GET", "/device-rtt")
+    assert r["status"].startswith("200")
+    rtt = r["json"]
+    assert rtt["iters"] == 20 and rtt["p50_ms"] > 0
+    assert rtt["min_ms"] <= rtt["p50_ms"] <= rtt["p90_ms"]
+
+
 def test_metrics_endpoints(served):
     r = request(served["app"], "GET", "/metrics-summary")
     assert r["status"].startswith("200")
