@@ -297,7 +297,15 @@ def calibrate_nprobe(
     .py:24-31`; autofaiss tunes index.nprobe for its recall target and
     records it in the infos json).  Mutates `index.nprobe` to the chosen
     value (persisted by `index.save`, honored by serving) and returns
-    {"nprobe", "target_recall", "recall_curve"} or None for flat indices."""
+    {"nprobe", "target_recall", "recall_curve"} or None for flat indices.
+
+    When the nprobe sweep PLATEAUS below target on a refine-tier index, the
+    residual loss is not candidate-cell misses but the ADC→rerank cutoff:
+    PQ quantization error drops true neighbors below the rerank_factor·k
+    candidate pool (observed on clustered 10M corpora: recall flat at
+    ~0.918 from nprobe=16 through 512).  A second sweep then raises
+    index.rerank_factor (also persisted) until the target is met — probing
+    more cells cannot fix a ranking loss, re-ranking more candidates can."""
     if getattr(index, "nprobe", None) is None:
         # exact tiers carry nprobe=None purely for API parity — nothing to
         # calibrate (and "calibrating" one would record bogus infos)
@@ -308,6 +316,17 @@ def calibrate_nprobe(
     if gt is None:
         gt = _exact_ground_truth(shards, queries, k)
     gt = gt[:, :k]
+
+    def recall_b1():
+        # B=1: the int8 IVF tier union-probes the whole query batch, so a
+        # batched calibration pass would scan ~n_queries·nprobe lists per
+        # query and overstate serving recall; single-query searches measure
+        # the guaranteed per-query floor (recall at any serving batch ≥ it)
+        got = np.concatenate(
+            [index.search(queries[i : i + 1], k)[1] for i in range(len(queries))]
+        )
+        return _recall_vs_gt(gt, got)
+
     curve: dict[str, float] = {}
     chosen = None
     cand = 1
@@ -318,25 +337,47 @@ def calibrate_nprobe(
     candidates.append(min(max_nprobe, nlist))
     for cand in candidates:
         index.nprobe = cand
-        # B=1: the int8 IVF tier union-probes the whole query batch, so a
-        # batched calibration pass would scan ~n_queries·nprobe lists per
-        # query and overstate serving recall; single-query searches measure
-        # the guaranteed per-query floor (recall at any serving batch ≥ it)
-        got = np.concatenate(
-            [index.search(queries[i : i + 1], k)[1] for i in range(len(queries))]
-        )
-        r = _recall_vs_gt(gt, got)
+        r = recall_b1()
         curve[str(cand)] = round(r, 4)
         if r >= target_recall:
             chosen = cand
             break
     target_missed = chosen is None
+    rerank_curve: dict[str, float] = {}
     if target_missed:
-        chosen = candidates[-1]  # best effort: largest probed
+        best = max(curve.values())
+        # cheapest point on the plateau, not the largest probed: past the
+        # plateau knee extra probes cost QPS and buy nothing
+        chosen = next(
+            int(np_) for np_, r in curve.items() if r >= best - 0.002
+        )
+        index.nprobe = chosen
+        can_rerank = (
+            getattr(index, "refine_vectors", None) is not None
+            and getattr(index, "rerank_factor", None) is not None
+        )
+        if can_rerank:
+            base_rf = index.rerank_factor
+            rf = base_rf
+            while rf < 128 and target_missed:
+                rf *= 2
+                index.rerank_factor = rf
+                r = recall_b1()
+                rerank_curve[str(rf)] = round(r, 4)
+                if r >= target_recall:
+                    target_missed = False
+            if target_missed and rerank_curve:
+                # best effort: keep the largest swept factor (recall is
+                # monotone in it) — still better than the base
+                index.rerank_factor = rf
+    if target_missed:
         LOGGER.warning(
-            "nprobe calibration missed target recall %.2f (best %.3f at "
-            "nprobe=%d) — consider more nlist or the refine tier",
-            target_recall, max(curve.values()), chosen,
+            "calibration missed target recall %.2f (best %.3f at nprobe=%d"
+            "%s) — consider more nlist or the refine tier",
+            target_recall,
+            max([*curve.values(), *rerank_curve.values()]),
+            chosen,
+            f", rerank_factor={index.rerank_factor}" if rerank_curve else "",
         )
     index.nprobe = chosen
     # recall_achieved / target_missed travel with the index (quantize copies
@@ -344,14 +385,20 @@ def calibrate_nprobe(
     # contract is visible at serving boot, not just in the build log —
     # autofaiss likewise records achieved recall in its infos json
     # (reference clip_index.py:24-31)
-    return {
+    out = {
         "nprobe": chosen,
         "target_recall": target_recall,
         "recall_k": k,
         "recall_curve": curve,
-        "recall_achieved": curve[str(chosen)],
+        "recall_achieved": (
+            max(rerank_curve.values()) if rerank_curve else curve[str(chosen)]
+        ),
         "target_missed": target_missed,
     }
+    if rerank_curve:
+        out["rerank_factor"] = index.rerank_factor
+        out["rerank_curve"] = rerank_curve
+    return out
 
 
 def quantize(

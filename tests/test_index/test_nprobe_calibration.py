@@ -132,3 +132,43 @@ def test_calibration_skipped_for_flat_and_pinned_nprobe(tmp_path):
         open(pinned_out / "image.json")
     )
     assert load_index(str(pinned_out / "image.index")).nprobe == 7
+
+
+def test_plateau_miss_calibrates_rerank_factor(tmp_path):
+    """When the nprobe sweep plateaus below target on a refine-tier index
+    (PQ ranking error, not candidate-cell misses — the clustered-corpus
+    regime), calibration must raise rerank_factor until the target is met,
+    and the choice must persist through save/load like nprobe does."""
+    from clip_retrieval_tpu.index.autotune import parse_index_key
+    from clip_retrieval_tpu.index.build import build_index_from_shards
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(24, 32)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 24, 4000)] + 0.15 * rng.normal(
+        size=(4000, 32)
+    ).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    folder = tmp_path / "emb"
+    folder.mkdir()
+    np.save(folder / "e.npy", x.astype(np.float16))
+    shards = EmbeddingShards(str(folder))
+    # coarse PQ (8 subquantizers on d=32) + refine, but rerank_factor=1:
+    # the ADC top-k IS the answer, so recall is PQ-ranking-bound and more
+    # nprobe cannot reach the target
+    ix = build_index_from_shards(
+        shards, parse_index_key("IVF64,PQ8", 32), nprobe=1, refine=True
+    )
+    ix.rerank_factor = 1
+    cal = calibrate_nprobe(ix, shards, target_recall=0.95, k=10)
+    assert not cal["target_missed"], cal
+    assert cal.get("rerank_factor", 1) > 1
+    assert ix.rerank_factor == cal["rerank_factor"]
+    assert cal["recall_achieved"] >= 0.95
+    assert max(cal["recall_curve"].values()) < 0.95  # nprobe alone missed
+    # persisted: serving sees the calibrated factor
+    out = tmp_path / "ix"
+    ix.save(str(out))
+    loaded = load_index(str(out))
+    assert loaded.rerank_factor == cal["rerank_factor"]
+    assert loaded.nprobe == cal["nprobe"]
