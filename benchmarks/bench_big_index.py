@@ -43,6 +43,13 @@ import time
 
 import numpy as np
 
+# the package is run from a source checkout, not installed — make it (and
+# sibling bench modules) importable from the per-phase subprocesses too
+_HERE = os.path.dirname(os.path.abspath(__file__))
+for _p in (_HERE, os.path.dirname(_HERE)):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
