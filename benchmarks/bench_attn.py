@@ -11,9 +11,12 @@ Run:  python benchmarks/bench_attn.py [--models B32,B16,L14]
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",

@@ -15,15 +15,63 @@ over-states k-means quality.
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.expanduser("~/.cache/clip_retrieval_tpu/xla_cache"),
 )
+
+
+def _make_corpus_host(
+    folder, n, d, intrinsic, seed, shard_rows, clusters, within,
+    skip_shards, w_np, cz_np, noise_std, _p,
+):
+    """Host-numpy twin of the device draw (see make_corpus): same law
+    x = unit(z @ W + 0.05·N(0, I_d)), z = center_{i mod clusters} +
+    noise_std·N(0, I_r); per-shard RNG streams keyed on (seed, shard) so
+    resumed runs redraw identical shards."""
+    block = 1 << 18
+
+    def draw(rng, start, rows):
+        out = np.empty((rows, d), np.float16)
+        for b0 in range(0, rows, block):
+            br = min(block, rows - b0)
+            z = rng.standard_normal((br, intrinsic), dtype=np.float32)
+            if clusters:
+                z *= noise_std
+                idx = (np.arange(start + b0, start + b0 + br)) % clusters
+                z += cz_np[idx]
+            x = z @ w_np
+            x += 0.05 * rng.standard_normal((br, d), dtype=np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            out[b0 : b0 + br] = x.astype(np.float16)
+        return out
+
+    for si, start in enumerate(range(0, n, shard_rows)):
+        if si in skip_shards:
+            continue
+        rows = min(shard_rows, n - start)
+        x = draw(np.random.default_rng((seed, si)), start, rows)
+        np.save(os.path.join(folder, f"emb_{si:04d}.npy"), x)
+        _p(f"corpus shard {si}: rows {start}..{start + rows} written (host)")
+    rngq = np.random.default_rng((seed, 1 << 20))
+    if clusters:
+        qc = cz_np[rngq.integers(0, clusters, 256)]
+        z = qc + noise_std * rngq.standard_normal(
+            (256, intrinsic), dtype=np.float32
+        )
+    else:
+        z = rngq.standard_normal((256, intrinsic), dtype=np.float32)
+    q = z @ w_np + 0.05 * rngq.standard_normal((256, d), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q.astype(np.float32)
 
 
 def make_corpus(
@@ -78,6 +126,19 @@ def make_corpus(
         cz_np *= scale / np.linalg.norm(cz_np, axis=1, keepdims=True)
     noise_std = within * scale / np.sqrt(intrinsic)  # ||noise|| = within·||c||
     _p("host setup done (w, cluster centers)")
+    if os.environ.get("CRT_GEN_HOST"):
+        # Same law drawn with numpy on the host. The device path exists
+        # because drawing is compute-cheap only at low intrinsic dim — but
+        # each fp16 shard must stream back through the harness relay, whose
+        # device→host rate is both low and VARIABLE (measured 11 MB/s one
+        # day, 3.5 MB/s another: 10 min/2 GB shard). At intrinsic ≤ 64 the
+        # host draw (~30 s/shard on one core, matmul + ambient noise
+        # dominated) beats any relay rate seen so far; different RNG
+        # stream, identical distribution.
+        return _make_corpus_host(
+            folder, n, d, intrinsic, seed, shard_rows, clusters, within,
+            skip_shards, w_np, cz_np, noise_std, _p,
+        )
     w = jnp.asarray(w_np)
     key = jax.random.PRNGKey(seed)
     # the harness relay's device→host rate collapses on multi-GB transfers

@@ -6,10 +6,13 @@
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",

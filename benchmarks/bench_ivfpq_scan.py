@@ -15,9 +15,12 @@ Run on TPU:  python benchmarks/bench_ivfpq_scan.py [--n 1000000]
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",

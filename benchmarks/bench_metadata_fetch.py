@@ -13,10 +13,13 @@ ids (unordered metadata).
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import pandas as pd
 
 

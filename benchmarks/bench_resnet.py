@@ -11,9 +11,12 @@ Run:  python benchmarks/bench_resnet.py [--models RN50,RN101] [--batch 256]
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",

@@ -13,7 +13,10 @@ Run: python benchmarks/bench_tokenizer.py   → benchmarks/tokenizer_host.json
 import json
 import os
 import random
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clip_retrieval_tpu.models.tokenizer import CLIPTokenizer, default_bpe_path
 

@@ -24,11 +24,14 @@ the code.  Run several reps to see the variance envelope.
 import argparse
 import json
 import os
+import sys
 import queue
 import threading
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",

@@ -22,9 +22,12 @@ Run:  python benchmarks/profile_b32.py [--batch 256] [--iters 32]
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
@@ -35,16 +38,32 @@ PEAK_BF16 = 197e12  # v5e
 
 
 def timed(fn, args, iters, warmup=3):
+    """Per-iteration device time via a two-point slope.
+
+    Through this harness's relay, block_until_ready returns before the
+    device work drains (it measured a 24 ms full B/32 encode at 0.04 ms) —
+    only a host readback truly syncs.  A readback costs a ~65 ms round
+    trip, which at the ~1 ms granularity profiled here would swamp the
+    signal, so: time iters and 2·iters windows, each ending in one
+    readback, and take the slope — the in-order device queue makes the
+    window cost n·t_iter + const, and the slope cancels the const
+    (readback + dispatch tail) exactly."""
     import jax
 
-    for _ in range(warmup):
+    def run(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        for _ in range(warmup):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return time.perf_counter() - t0
+
+    t_n = run(iters)
+    t_2n = run(2 * iters)
+    return max((t_2n - t_n) / iters, 1e-9)
 
 
 def main():

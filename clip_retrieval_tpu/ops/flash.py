@@ -150,15 +150,17 @@ def _kern_packed_batched(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 # Longest sequence the packed kernel has been MEASURED at on real Mosaic
-# (attn_tpu.json: S=50/77/257 all win or tie).  L/14@336's S=577 stays on
-# the measured xla_bf16 path until bench_attn.py --models L14_336 lands.
-MAX_PACKED_SEQ = 257
+# (attn_tpu.json: S=50/77/257/577 all win).  S=577 is L/14@336:
+# 280 → 329.5 img/s (+18%, MFU 0.544 → 0.640) vs the xla_bf16 path.
+MAX_PACKED_SEQ = 577
 
 # Head dims the packed kernel has been MEASURED to win at on real Mosaic
-# (attn_tpu.json).  dh=64 covers B/32, B/16, L/14; dh=80 is H/14, whose
-# ragged lane slices now compile in both kernel bodies but ride 'auto'
-# only after bench_attn.py --models H14 shows a win.
-MEASURED_PACKED_DH = frozenset({64})
+# (attn_tpu.json).  dh=64 covers B/32, B/16, L/14; dh=80 is H/14's ragged
+# geometry (group=8, 8·80 = 5·128 lanes): the 'slice' body wins full-model
+# 314.9 → 355.5 img/s (+13%, MFU 0.536 → 0.605).  The 'batched' relayout
+# body does NOT compile on real Mosaic at dh=80 (remote tpu_compile
+# rejects the in-VMEM (G,S,dh) relayout) — 'slice' is the only variant.
+MEASURED_PACKED_DH = frozenset({64, 80})
 
 
 def packed_group(heads: int, dh: int) -> int | None:
