@@ -480,9 +480,33 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
 
+    def parts_complete():
+        # gen shards are deleted by --reclaim once copied into build parts;
+        # on a resume, finished parts + queries mean gen/assemble are done
+        row = 0
+        shard_rows = N // BUILD_SHARDS
+        for bi in range(BUILD_SHARDS):
+            rows = shard_rows if bi < BUILD_SHARDS - 1 else N - row
+            p = os.path.join(args.root, "corpus30m", f"part_{bi:02d}.npy")
+            if not os.path.exists(p):
+                return False
+            a = np.load(p, mmap_mode="r")
+            ok = a.shape == (rows, D)
+            del a
+            if not ok:
+                return False
+            row += rows
+        return os.path.exists(os.path.join(args.root, "queries_30m.npz"))
+
     if args.phase == "all":
         results = {}
+        skip_src = parts_complete()
         for name in PHASES:
+            if name in ("gen", "assemble") and skip_src:
+                print(f"[big30m] {name}: assembled parts + queries on "
+                      "disk, skipping", flush=True)
+                results[name] = {"wall_s": 0.0, "rc": 0}
+                continue
             env = dict(os.environ)
             if name in CPU_PHASES:
                 env["JAX_PLATFORMS"] = "cpu"
