@@ -153,6 +153,7 @@ def make_app(
     )
     router.route("GET", "/serving-stats", knn.serving_stats)
     router.route("GET", "/device-rtt", _device_rtt_probe)
+    router.route("POST", "/stage-times", knn.stage_times)
     router.mount("/metrics", make_wsgi_app())
 
     from ..front import add_static_routes

@@ -61,6 +61,10 @@ class MicroBatcher:
         # serving bench uses these to account per-batch relay round-trips
         self.n_batches = 0
         self.n_items = 0
+        # raw batch-size histogram {len(items): count} — with the stage
+        # timings from /stage-times this lets a load harness reconstruct
+        # the device-busy time of a serving window batch by batch
+        self.batch_sizes: dict[int, int] = {}
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name=name
         )
@@ -115,6 +119,9 @@ class MicroBatcher:
                     break
             self.n_batches += 1
             self.n_items += len(items)
+            self.batch_sizes[len(items)] = (
+                self.batch_sizes.get(len(items), 0) + 1
+            )
             if self.fn_finish is None:
                 try:
                     results = self.fn_batch([it.payload for it in items])

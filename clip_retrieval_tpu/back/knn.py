@@ -249,18 +249,75 @@ class KnnService:
         with self._lock:
             encoders = dict(self._encoders)
             searchers = dict(self._search_batchers)
+        def row(b):
+            return {"batches": b.n_batches, "items": b.n_items,
+                    "batch_sizes": dict(b.batch_sizes)}
+
         for name, enc in encoders.items():
             out["encoders"][name] = {
-                "text": {"batches": enc._text_batcher.n_batches,
-                         "items": enc._text_batcher.n_items},
-                "image": {"batches": enc._image_batcher.n_batches,
-                          "items": enc._image_batcher.n_items},
+                "text": row(enc._text_batcher),
+                "image": row(enc._image_batcher),
             }
         for (iid, k), b in searchers.items():
-            out["search"][f"{iid}-k{k}"] = {
-                "batches": b.n_batches, "items": b.n_items
-            }
+            out["search"][f"{iid}-k{k}"] = row(b)
         return out
+
+    def stage_times(self, body: dict | None = None) -> dict:
+        """Time the two per-request device stages — text encode and index
+        search — from INSIDE the server process (the one holding the chip),
+        blocking per call, p50 over `iters`.  Each sample pays exactly one
+        host↔device round-trip on top of the device compute, so a load
+        harness can reconstruct what the same batch costs on a PCIe host
+        as `stage_p50 - device_rtt_p50` (`/device-rtt`): combined with the
+        batch-size histograms in `/serving-stats` this replaces the crude
+        "one RTT per batch" upper bound with batch-by-batch accounting
+        (benchmarks/bench_serving_http.py)."""
+        import time
+
+        import jax.numpy as jnp
+
+        body = body or {}
+        name = body.get("indice_name") or next(iter(self.clip_resources))
+        iters = int(body.get("iters", 15))
+        k = int(body.get("k", 40))
+        text_bucket = int(body.get("text_bucket", 16))
+        search_bucket = int(body.get("search_bucket", 16))
+        enc = self._enc(name)
+        cfg = enc.bundle.cfg
+
+        def p50(fn, warm=1):
+            for _ in range(warm):
+                fn()
+            samples = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            return round(samples[len(samples) // 2] * 1e3, 3)
+
+        tokens = jnp.asarray(
+            np.zeros((_bucket(text_bucket), cfg.context_length), np.int32)
+        )
+        text_ms = p50(
+            lambda: np.asarray(enc._encode_text(enc._params, tokens))
+        )
+
+        res = self.clip_resources[name]
+        index = res.image_index if res.image_index is not None \
+            else res.text_index
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(search_bucket, index.d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        search_ms = p50(lambda: index.search_and_reconstruct(q, k))
+
+        return {
+            "indice_name": name,
+            "iters": iters,
+            "text_encode": {"bucket": int(tokens.shape[0]),
+                            "p50_ms": text_ms},
+            "search": {"batch": search_bucket, "k": k, "p50_ms": search_ms},
+        }
 
     def _enc(self, indice_name: str) -> _Encoders:
         # locked check-then-insert: two concurrent first requests would

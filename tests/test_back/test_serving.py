@@ -298,6 +298,36 @@ def test_serving_stats_and_device_rtt(served):
     assert rtt["min_ms"] <= rtt["p50_ms"] <= rtt["p90_ms"]
 
 
+def test_stage_times_and_batch_hist(served):
+    """/stage-times measures the per-batch device cost of the two serving
+    stages in-process, and /serving-stats carries raw batch-size
+    histograms — together the serving bench reconstructs a window's
+    device-busy time batch by batch (bench_serving_http.capacity_accounting)."""
+    r = request(
+        served["app"],
+        "POST",
+        "/knn-service",
+        {"text": "a hist query", "modality": "image", "num_images": 3,
+         "indice_name": "test_index"},
+    )
+    assert r["status"].startswith("200")
+    stats = request(served["app"], "GET", "/serving-stats")["json"]
+    hist = stats["encoders"]["test_index"]["text"]["batch_sizes"]
+    assert sum(hist.values()) == stats["encoders"]["test_index"]["text"]["batches"]
+    assert all(int(k) >= 1 for k in hist)
+    r = request(
+        served["app"],
+        "POST",
+        "/stage-times",
+        {"text_bucket": 2, "search_bucket": 2, "iters": 3, "k": 5},
+    )
+    assert r["status"].startswith("200")
+    st = r["json"]
+    assert st["text_encode"]["bucket"] == 2  # pow2 bucket honored
+    assert st["text_encode"]["p50_ms"] > 0
+    assert st["search"]["p50_ms"] > 0 and st["search"]["k"] == 5
+
+
 def test_metrics_endpoints(served):
     r = request(served["app"], "GET", "/metrics-summary")
     assert r["status"].startswith("200")
