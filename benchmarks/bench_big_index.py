@@ -278,7 +278,10 @@ def phase_shards(root: str):
              f"(rss {_rss_gb():.1f} GB)")
         offset += x.shape[0]
         del ix, x
-    with open(os.path.join(root, "shard_timings.json"), "w") as f:
+    tpath = os.path.join(root, "shard_timings.json")
+    if not timings and os.path.exists(tpath):
+        return  # resume skipped every shard — keep the recorded timings
+    with open(tpath, "w") as f:
         json.dump(timings, f, indent=1)
 
 
@@ -385,9 +388,18 @@ def phase_serve_chip(root: str):
             "platform": jax.devices()[0].platform, "qps": [],
             "recall": {}}
     nprobes = [p for p in (16, 32, 64, 128) if p <= NLIST]
+    # recall eval in serving-shaped chunks: one 256-query dispatch at
+    # nprobe>=64 unions most of the 16384 lists, so the gathered-rows GEMM
+    # plus its (nq, rows) score buffer exceeds the 16 GB HBM (measured:
+    # 17.7 GB requested).  The serving path micro-batches queries to <=64,
+    # so chunking here also measures the shape production actually runs.
+    chunk = 64
     for nprobe in nprobes:
         ix.nprobe = nprobe
-        got = ix.search(q, 10)[1]
+        got = np.concatenate(
+            [np.asarray(ix.search(q[o:o + chunk], 10)[1])
+             for o in range(0, q.shape[0], chunk)]
+        )
         rows["recall"][str(nprobe)] = round(_recall_vs_gt(gt, got), 4)
     _log(f"serve_chip: recall curve {rows['recall']}")
     # pick the smallest nprobe reaching 0.95, else the largest probed
