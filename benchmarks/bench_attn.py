@@ -57,6 +57,7 @@ def main():
         "L14": configs.VIT_L14,
         "L14_336": configs.VIT_L14_336,
         "H14": configs.VIT_H14,
+        "G14": configs.VIT_G14,
     }
     rng = np.random.default_rng(0)
     results = []
@@ -144,7 +145,9 @@ def main():
         ] + results
         order = {
             m: i
-            for i, m in enumerate(["B32", "B16", "L14", "L14_336", "H14"])
+            for i, m in enumerate(
+                ["B32", "B16", "L14", "L14_336", "H14", "G14"]
+            )
         }
         results.sort(key=lambda r: order.get(r["model"], 9))
     with open(out_path, "w") as f:

@@ -258,17 +258,39 @@ def main():
             )
             urllib.request.urlopen(req, timeout=600).read()
         # concurrent warmup: micro-batching pads to power-of-two buckets and
-        # each bucket size is its own jit program — compile them all before
-        # the timed window
-        print("warming micro-batch buckets...", flush=True)
+        # each bucket size is its own jit program — a fixed-length warm can
+        # end with buckets still compiling (measured: a 20 s warm left the
+        # window eating multi-second compiles → 15 QPS vs the real 383), so
+        # warm in rounds until a round discovers NO new bucket
         import asyncio
 
-        asyncio.run(drive(args.port, args.clients, 20, args.num_images))
         def get_json(path):
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{args.port}{path}", timeout=120
             ) as r:
                 return json.loads(r.read())
+
+        def bucket_set(stats):
+            seen = set()
+            for name, enc in stats["encoders"].items():
+                for mode in ("text", "image"):
+                    seen |= {(name, mode, _pow2(int(b)))
+                             for b in enc[mode]["batch_sizes"]}
+            for key, b in stats["search"].items():
+                seen |= {("search", key, _pow2(int(s)))
+                         for s in b["batch_sizes"]}
+            return seen
+
+        print("warming micro-batch buckets...", flush=True)
+        seen = bucket_set(get_json("/serving-stats"))
+        for round_i in range(8):
+            asyncio.run(drive(args.port, args.clients, 15, args.num_images))
+            now = bucket_set(get_json("/serving-stats"))
+            print(f"warm round {round_i}: {len(now)} buckets "
+                  f"(+{len(now - seen)})", flush=True)
+            if not (now - seen) and round_i >= 1:
+                break
+            seen = now
 
         stats0 = get_json("/serving-stats")
         print("driving load...", flush=True)
