@@ -165,12 +165,20 @@ MEASURED_PACKED_DH = frozenset({64, 80})
 
 def packed_group(heads: int, dh: int) -> int | None:
     """Largest divisor of `heads`, capped at _MAX_GROUP, whose lane-block
-    width group·dh satisfies Mosaic's blocking rule (multiple of 128).
-    None if no such grouping exists (callers then use the XLA fallback —
-    deliberately no full-width escape hatch: group > _MAX_GROUP crashes
-    the Mosaic compiler, see module docstring)."""
+    width group·dh satisfies Mosaic's blocking rule (multiple of 128);
+    for ragged head dims where NO divisor ≤ _MAX_GROUP aligns (g/14's
+    dh=88 needs g·11 ≡ 0 mod 16 → g=16), the smallest aligned divisor
+    above it, capped at 2048 lanes.  The _MAX_GROUP budget bounds the
+    (G,Sq,Sk) f32 logits tile of the *batched* bodies; the packed 'slice'
+    body attends one head at a time (one (S,S) logits tile regardless of
+    group), so a wide group costs lane width, not VMEM — group=16/dh=88
+    compiles and wins on real Mosaic (attn_tpu.json G14 rows).  None if
+    nothing aligns (callers then use the XLA fallback)."""
     for g in range(min(heads, _MAX_GROUP), 0, -1):
         if heads % g == 0 and (g * dh) % 128 == 0:
+            return g
+    for g in range(_MAX_GROUP + 1, heads + 1):
+        if heads % g == 0 and (g * dh) % 128 == 0 and g * dh <= 2048:
             return g
     return None
 
