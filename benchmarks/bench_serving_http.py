@@ -67,7 +67,27 @@ def wait_port(port, timeout=1500):  # boot warmup compiles through the relay can
     return False
 
 
-async def drive(port, clients, seconds, num_images):
+def make_query_images(count: int = 8, size: int = 224):
+    """A handful of distinct base64 JPEGs for image-modality load (random
+    noise content — the server's decode+preprocess+encode cost does not
+    depend on image content, only on byte size and pixel count)."""
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(count):
+        arr = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        buf = BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        out.append(base64.b64encode(buf.getvalue()).decode())
+    return out
+
+
+async def drive(port, clients, seconds, num_images, modality="text",
+                query_images=None):
     import aiohttp
 
     url = f"http://127.0.0.1:{port}/knn-service"
@@ -87,6 +107,9 @@ async def drive(port, clients, seconds, num_images):
                 "indice_name": "bench",
                 "deduplicate": False,
             }
+            if modality == "image":
+                del body["text"]
+                body["image"] = query_images[(wid + i) % len(query_images)]
             t0 = time.perf_counter()
             try:
                 async with session.post(url, json=body) as r:
@@ -146,7 +169,7 @@ def _stage_hists(stats0, stats1):
     return text, image, search
 
 
-def capacity_accounting(post_json, stats0, stats1, rtt_p50_ms):
+def capacity_accounting(post_json, stats0, stats1, rtt_p50_ms, k=40):
     """Reconstruct the window's device-busy time batch by batch.
 
     For every pow2 batch size the server actually dispatched, measure the
@@ -156,31 +179,42 @@ def capacity_accounting(post_json, stats0, stats1, rtt_p50_ms):
     window's batch histogram = device-busy seconds; requests / that is the
     PCIe-host capacity of this exact serving schedule (the server is a
     single-device single-queue pipeline, so device-busy time is the
-    binding resource under load)."""
+    binding resource under load).  `k` must match the window's
+    num_result_ids — the search stage cost depends on it."""
     text_h, image_h, search_h = _stage_hists(stats0, stats1)
-    buckets = sorted(set(text_h) | set(search_h))
-    text_ms, search_ms = {}, {}
-    for b in buckets:
+    text_ms, search_ms, image_ms = {}, {}, {}
+    for b in sorted(set(text_h) | set(search_h)):
         st = post_json(
             "/stage-times",
-            {"text_bucket": b, "search_bucket": b, "iters": 12},
+            {"text_bucket": b, "search_bucket": b, "iters": 12, "k": k},
         )
         text_ms[b] = st["text_encode"]["p50_ms"]
         search_ms[b] = st["search"]["p50_ms"]
+    for b in sorted(image_h):
+        st = post_json("/stage-times", {"image_bucket": b, "iters": 8,
+                                        "k": k})
+        image_ms[b] = st["image_encode"]["p50_ms"]
     floor_ms = 0.2  # never credit a stage below 0.2 ms of device time
-    busy_ms = 0.0
-    for b, c in text_h.items():
-        busy_ms += c * max(text_ms[b] - rtt_p50_ms, floor_ms)
-    for b, c in search_h.items():
-        busy_ms += c * max(search_ms[b] - rtt_p50_ms, floor_ms)
-    # image encodes (none in a text-query window) would need their own
-    # stage probe; flag them instead of silently mispricing
-    image_batches = sum(image_h.values())
+
+    def stage_busy(hist, ms):
+        return sum(
+            c * max(ms[b] - rtt_p50_ms, floor_ms) for b, c in hist.items()
+        )
+
+    busy = {
+        "text_encode": stage_busy(text_h, text_ms),
+        "image_encode": stage_busy(image_h, image_ms),
+        "search": stage_busy(search_h, search_ms),
+    }
     return {
-        "device_busy_s_est": round(busy_ms / 1e3, 2),
-        "stage_p50_ms": {"text_encode": text_ms, "search": search_ms},
-        "batch_hist": {"text_encode": text_h, "search": search_h},
-        "unpriced_image_batches": image_batches,
+        "device_busy_s_est": round(sum(busy.values()) / 1e3, 2),
+        "device_busy_s_by_stage": {
+            s: round(v / 1e3, 2) for s, v in busy.items()
+        },
+        "stage_p50_ms": {"text_encode": text_ms, "search": search_ms,
+                         "image_encode": image_ms},
+        "batch_hist": {"text_encode": text_h, "search": search_h,
+                       "image_encode": image_h},
     }
 
 
@@ -191,6 +225,11 @@ def main():
     ap.add_argument("--seconds", type=int, default=30)
     ap.add_argument("--port", type=int, default=18123)
     ap.add_argument("--num_images", type=int, default=40)
+    ap.add_argument(
+        "--modality", choices=("text", "image"), default="text",
+        help="query modality for the load window: text tokens or base64 "
+        "JPEG images (the reference's slowest path, README.md:425-437)",
+    )
     ap.add_argument(
         "--index_folder", default="",
         help="serve an EXISTING index dir (e.g. the 10M build) instead of "
@@ -281,10 +320,14 @@ def main():
                          for s in b["batch_sizes"]}
             return seen
 
+        query_images = (
+            make_query_images() if args.modality == "image" else None
+        )
         print("warming micro-batch buckets...", flush=True)
         seen = bucket_set(get_json("/serving-stats"))
         for round_i in range(8):
-            asyncio.run(drive(args.port, args.clients, 15, args.num_images))
+            asyncio.run(drive(args.port, args.clients, 15, args.num_images,
+                              args.modality, query_images))
             now = bucket_set(get_json("/serving-stats"))
             print(f"warm round {round_i}: {len(now)} buckets "
                   f"(+{len(now - seen)})", flush=True)
@@ -292,25 +335,52 @@ def main():
                 break
             seen = now
 
-        stats0 = get_json("/serving-stats")
-        print("driving load...", flush=True)
-        done, errors, lat = asyncio.run(
-            drive(args.port, args.clients, args.seconds, args.num_images)
-        )
-        stats1 = get_json("/serving-stats")
-        # device round-trip measured INSIDE the server process (the one
-        # holding the chip) — the per-batch cost this harness's relay adds
-        # that a PCIe-attached production host does not pay
-        rtt = get_json("/device-rtt")
-
-        def post_json(path, body):
+        def post_json(path, body, timeout=600):
             req = urllib.request.Request(
                 f"http://127.0.0.1:{args.port}{path}",
                 data=json.dumps(body).encode(),
                 headers={"Content-Type": "application/json"},
             )
-            with urllib.request.urlopen(req, timeout=600) as r:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
                 return json.loads(r.read())
+
+        # stage-probe body used for BOTH the idle and the under-load probe —
+        # identical buckets, so the delta isolates queueing interactions
+        probe_body = {"text_bucket": 32, "search_bucket": 32, "iters": 8,
+                      "k": args.num_images}
+        if args.modality == "image":
+            probe_body["image_bucket"] = 32
+        idle_probe = post_json("/stage-times", probe_body)
+
+        # the idle /stage-times probe measures each stage with nothing else
+        # in flight, but under load encoder and search dispatches from two
+        # batchers interleave in the device queue; probing DURING the window
+        # bounds the error of pricing the window with idle stage times
+        import threading
+
+        loaded_probe = {}
+
+        def probe_under_load():
+            time.sleep(max(2.0, args.seconds * 0.25))
+            try:
+                loaded_probe.update(post_json("/stage-times", probe_body))
+            except Exception as e:  # pragma: no cover - best effort
+                loaded_probe["error"] = str(e)
+
+        stats0 = get_json("/serving-stats")
+        print("driving load...", flush=True)
+        prober = threading.Thread(target=probe_under_load, daemon=True)
+        prober.start()
+        done, errors, lat = asyncio.run(
+            drive(args.port, args.clients, args.seconds, args.num_images,
+                  args.modality, query_images)
+        )
+        prober.join(timeout=600)
+        stats1 = get_json("/serving-stats")
+        # device round-trip measured INSIDE the server process (the one
+        # holding the chip) — the per-batch cost this harness's relay adds
+        # that a PCIe-attached production host does not pay
+        rtt = get_json("/device-rtt")
 
         def total_batches(s):
             n = 0
@@ -321,7 +391,36 @@ def main():
             return n
 
         batches = total_batches(stats1) - total_batches(stats0)
-        cap = capacity_accounting(post_json, stats0, stats1, rtt["p50_ms"])
+        cap = capacity_accounting(post_json, stats0, stats1, rtt["p50_ms"],
+                                  k=args.num_images)
+
+        # sensitivity: re-price the window with each stage scaled by its
+        # measured loaded/idle ratio at the shared probe bucket — the
+        # pessimistic end of the capacity range (queueing interactions the
+        # idle probe cannot see)
+        sensitivity = {"probe_bucket": 32}
+        busy_loaded_s = None
+        if loaded_probe and "error" not in loaded_probe:
+            busy_loaded_s = 0.0
+            for stage in ("text_encode", "image_encode", "search"):
+                key = "search" if stage == "search" else stage
+                idle_ms = idle_probe.get(key, {}).get("p50_ms")
+                load_ms = loaded_probe.get(key, {}).get("p50_ms")
+                if idle_ms and load_ms:
+                    ratio = max(1.0, load_ms / idle_ms)
+                else:
+                    ratio = 1.0
+                sensitivity[stage] = {
+                    "idle_p50_ms": idle_ms,
+                    "loaded_p50_ms": load_ms,
+                    "ratio": round(ratio, 3),
+                }
+                busy_loaded_s += (
+                    cap["device_busy_s_by_stage"][stage] * ratio
+                )
+            busy_loaded_s = round(busy_loaded_s, 2)
+        elif loaded_probe:
+            sensitivity["error"] = loaded_probe["error"]
         lat = np.sort(np.array(lat))
         import jax
 
@@ -334,6 +433,7 @@ def main():
             "p50_ms": round(float(lat[len(lat) // 2] * 1e3), 1),
             "p95_ms": round(float(lat[int(len(lat) * 0.95)] * 1e3), 1),
             "corpus": args.n,
+            "modality": args.modality,
             "model": "ViT-B/32 (random weights, real compute)",
             "reference_baseline_qps": 20,
             "platform": platform,
@@ -348,6 +448,13 @@ def main():
             "pcie_capacity_qps": round(
                 done / max(cap["device_busy_s_est"], 1e-3), 1
             ),
+            # the pessimistic end: each stage re-priced at its measured
+            # under-load/idle p50 ratio (stage_sensitivity)
+            "pcie_capacity_qps_loaded": (
+                round(done / max(busy_loaded_s, 1e-3), 1)
+                if busy_loaded_s else None
+            ),
+            "stage_sensitivity": sensitivity,
             "note": "e2e through the harness TPU relay; pcie_capacity_qps "
             "re-prices each dispatched batch at its measured device "
             "compute (/stage-times p50 minus /device-rtt p50): the QPS "
@@ -355,9 +462,10 @@ def main():
             "e2e figure is the relay-bound floor",
         }
         print(json.dumps(row), flush=True)
+        mod_suffix = "_image" if args.modality == "image" else ""
         out = os.path.join(
             os.path.dirname(__file__),
-            f"serving_http_{platform}{args.out_suffix}.json",
+            f"serving_http_{platform}{mod_suffix}{args.out_suffix}.json",
         )
         with open(out, "w") as f:
             json.dump([row], f, indent=1)

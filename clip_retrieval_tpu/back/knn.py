@@ -278,10 +278,19 @@ class KnnService:
 
         body = body or {}
         name = body.get("indice_name") or next(iter(self.clip_resources))
-        iters = int(body.get("iters", 15))
-        k = int(body.get("k", 40))
-        text_bucket = int(body.get("text_bucket", 16))
-        search_bucket = int(body.get("search_bucket", 16))
+        if name not in self.clip_resources:
+            raise ValueError(f"unknown indice_name: {name!r}")
+        # clamp client-controlled knobs: this endpoint is on the same
+        # unauthenticated CORS-* app as /knn-service, so unbounded values
+        # would let one request allocate a (2^30, context) token array or
+        # monopolize the device for iters=10^9 blocking calls
+        iters = min(64, max(1, int(body.get("iters", 15))))
+        k = min(1024, max(1, int(body.get("k", 40))))
+        text_bucket = min(64, max(1, int(body.get("text_bucket", 16))))
+        search_bucket = min(64, max(1, int(body.get("search_bucket", 16))))
+        # image encode is the most expensive stage (a full ViT forward), so
+        # it is probed only on request: image_bucket=0 (default) skips it
+        image_bucket = min(64, max(0, int(body.get("image_bucket", 0))))
         enc = self._enc(name)
         cfg = enc.bundle.cfg
 
@@ -303,21 +312,41 @@ class KnnService:
             lambda: np.asarray(enc._encode_text(enc._params, tokens))
         )
 
+        image_row = None
+        if image_bucket:
+            images = jnp.asarray(
+                np.zeros(
+                    (_bucket(image_bucket), cfg.image_size, cfg.image_size, 3),
+                    np.uint8,
+                )
+            )
+            image_row = {
+                "bucket": int(images.shape[0]),
+                "p50_ms": p50(
+                    lambda: np.asarray(enc._encode_image(enc._params, images))
+                ),
+            }
+
         res = self.clip_resources[name]
         index = res.image_index if res.image_index is not None \
             else res.text_index
+        if index is None:
+            raise ValueError(f"no index loaded for {name!r}")
         rng = np.random.default_rng(0)
         q = rng.normal(size=(search_bucket, index.d)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         search_ms = p50(lambda: index.search_and_reconstruct(q, k))
 
-        return {
+        out = {
             "indice_name": name,
             "iters": iters,
             "text_encode": {"bucket": int(tokens.shape[0]),
                             "p50_ms": text_ms},
             "search": {"batch": search_bucket, "k": k, "p50_ms": search_ms},
         }
+        if image_row is not None:
+            out["image_encode"] = image_row
+        return out
 
     def _enc(self, indice_name: str) -> _Encoders:
         # locked check-then-insert: two concurrent first requests would

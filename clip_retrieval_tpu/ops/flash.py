@@ -157,10 +157,12 @@ MAX_PACKED_SEQ = 577
 # Head dims the packed kernel has been MEASURED to win at on real Mosaic
 # (attn_tpu.json).  dh=64 covers B/32, B/16, L/14; dh=80 is H/14's ragged
 # geometry (group=8, 8·80 = 5·128 lanes): the 'slice' body wins full-model
-# 314.9 → 355.5 img/s (+13%, MFU 0.536 → 0.605).  The 'batched' relayout
-# body does NOT compile on real Mosaic at dh=80 (remote tpu_compile
-# rejects the in-VMEM (G,S,dh) relayout) — 'slice' is the only variant.
-MEASURED_PACKED_DH = frozenset({64, 80})
+# 314.9 → 355.5 img/s (+13%, MFU 0.536 → 0.605).  dh=88 is g/14 (group=16,
+# 16·88 = 11·128 lanes): 'slice' wins 175.9 → 223.1 img/s (+27%,
+# min cos 0.9999, attn_tpu.json G14 rows).  The 'batched' relayout body
+# does NOT compile on real Mosaic at dh=80 (remote tpu_compile rejects
+# the in-VMEM (G,S,dh) relayout) — 'slice' is the only variant there.
+MEASURED_PACKED_DH = frozenset({64, 80, 88})
 
 
 def packed_group(heads: int, dh: int) -> int | None:
@@ -213,6 +215,14 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     if heads % g:
         # grid truncation would silently leave lanes g*dh.. uninitialized
         raise ValueError(f"group={g} does not divide heads={heads}")
+    if variant == "batched" and g > _MAX_GROUP:
+        # the batched body materializes a (G,Sq,Sk) f32 logits tile that
+        # _MAX_GROUP exists to bound (g=16 crashes Mosaic there); only the
+        # per-head 'slice' body may use the above-budget ragged groupings
+        raise ValueError(
+            f"variant='batched' needs group<={_MAX_GROUP} (got {g}); "
+            f"use variant='slice' for ragged dims that align only above it"
+        )
     body = _kern_packed_batched if variant == "batched" else _kern_packed
     kernel = functools.partial(
         body, scale=dh ** -0.5, causal=causal, group=g, dh=dh

@@ -326,6 +326,34 @@ def test_stage_times_and_batch_hist(served):
     assert st["text_encode"]["bucket"] == 2  # pow2 bucket honored
     assert st["text_encode"]["p50_ms"] > 0
     assert st["search"]["p50_ms"] > 0 and st["search"]["k"] == 5
+    assert "image_encode" not in st  # probed only on request
+
+
+def test_stage_times_clamps_and_validates(served):
+    """/stage-times is on the same unauthenticated app as /knn-service —
+    hostile iters/bucket/k values must be clamped (not allocated) and an
+    unknown indice_name must 400, not 500."""
+    r = request(
+        served["app"],
+        "POST",
+        "/stage-times",
+        {"text_bucket": 2 ** 30, "search_bucket": 10 ** 9, "iters": 10 ** 9,
+         "k": 10 ** 9, "image_bucket": 2 ** 30},
+    )
+    assert r["status"].startswith("200")
+    st = r["json"]
+    assert st["iters"] <= 64
+    assert st["text_encode"]["bucket"] <= 64
+    assert st["search"]["batch"] <= 64 and st["search"]["k"] <= 1024
+    assert st["image_encode"]["bucket"] <= 64
+    assert st["image_encode"]["p50_ms"] > 0
+    # iters=0 clamps up to 1 instead of IndexError on an empty sample list
+    r = request(served["app"], "POST", "/stage-times", {"iters": 0})
+    assert r["status"].startswith("200") and r["json"]["iters"] == 1
+    r = request(
+        served["app"], "POST", "/stage-times", {"indice_name": "nope"}
+    )
+    assert r["status"].startswith("400")
 
 
 def test_metrics_endpoints(served):
