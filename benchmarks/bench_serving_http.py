@@ -183,6 +183,7 @@ def capacity_accounting(post_json, stats0, stats1, rtt_p50_ms, k=40):
     num_result_ids — the search stage cost depends on it."""
     text_h, image_h, search_h = _stage_hists(stats0, stats1)
     text_ms, search_ms, image_ms = {}, {}, {}
+    search_rtts = 1
     for b in sorted(set(text_h) | set(search_h)):
         st = post_json(
             "/stage-times",
@@ -190,23 +191,29 @@ def capacity_accounting(post_json, stats0, stats1, rtt_p50_ms, k=40):
         )
         text_ms[b] = st["text_encode"]["p50_ms"]
         search_ms[b] = st["search"]["p50_ms"]
+        search_rtts = st["search"].get("round_trips", 1)
     for b in sorted(image_h):
         st = post_json("/stage-times", {"image_bucket": b, "iters": 8,
                                         "k": k})
         image_ms[b] = st["image_encode"]["p50_ms"]
     floor_ms = 0.2  # never credit a stage below 0.2 ms of device time
 
-    def stage_busy(hist, ms):
+    def stage_busy(hist, ms, rtts=1):
+        # exact-union/rerank searches pay `rtts` host↔device round-trips
+        # per blocking call (the server reports it); each is one relay RTT
+        # here but ~0 on a PCIe host
         return sum(
-            c * max(ms[b] - rtt_p50_ms, floor_ms) for b, c in hist.items()
+            c * max(ms[b] - rtts * rtt_p50_ms, floor_ms)
+            for b, c in hist.items()
         )
 
     busy = {
         "text_encode": stage_busy(text_h, text_ms),
         "image_encode": stage_busy(image_h, image_ms),
-        "search": stage_busy(search_h, search_ms),
+        "search": stage_busy(search_h, search_ms, search_rtts),
     }
     return {
+        "search_round_trips": search_rtts,
         "device_busy_s_est": round(sum(busy.values()) / 1e3, 2),
         "device_busy_s_by_stage": {
             s: round(v / 1e3, 2) for s, v in busy.items()

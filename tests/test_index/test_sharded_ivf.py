@@ -175,3 +175,54 @@ def test_padding_lists_never_steal_probes():
         hits_s = set(got_s[i][got_s[i] >= 0])
         assert got_s[i][0] == 3000 + i  # self-retrieval intact
         assert len(hits_s & hits_1) >= len(hits_1) - 1
+
+
+def test_sharded_exact_union_matches_static(corpus, single):
+    """Exact-union mode on the mesh tier: per-shard selections sized to
+    each shard's ACTUAL probed union must reproduce the static path's
+    results when every list is probed, and keep ids duplicate-free."""
+    ex = ShardedIVFInt8Index.from_index(single)
+    ex.union = "exact"
+    st = ShardedIVFInt8Index.from_index(single)
+    st.union = "static"
+    ex.exact_topk = st.exact_topk = True
+    rng = np.random.default_rng(3)
+    q = _unit(rng.normal(size=(9, 64)))
+    ex.nprobe = st.nprobe = 64  # all lists → both modes are int8-exact
+    v_ex, i_ex = ex.search(q, 10)
+    v_st, i_st = st.search(q, 10)
+    np.testing.assert_array_equal(i_ex, i_st)
+    np.testing.assert_allclose(v_ex, v_st, rtol=1e-5)
+    # partial probing: static's budget fill can only ADD candidates
+    ex.nprobe = st.nprobe = 8
+    v_ex, i_ex = ex.search(q, 10)
+    v_st, i_st = st.search(q, 10)
+    assert (v_ex <= v_st + 1e-5).all()
+    for row in i_ex:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_sharded_exact_union_recall_at_least_per_query(corpus, single):
+    """Exact union still guarantees every query its own nprobe lists per
+    shard — recall vs flat ground truth must match the single-chip tier's
+    at the same nprobe."""
+    exact = FlatIndex(64)
+    exact.add(corpus)
+    rng = np.random.default_rng(5)
+    q = _unit(rng.normal(size=(16, 64)))
+    _, gt = exact.search(q, 10)
+    sh = ShardedIVFInt8Index.from_index(single)
+    sh.union = "exact"
+    sh.nprobe = 16
+    _, got = sh.search(q, 10)
+    single.nprobe = 16
+    _, got1 = single.search(q, 10)
+
+    def recall(ids):
+        return np.mean(
+            [len(set(gt[i]) & set(ids[i])) / 10 for i in range(len(q))]
+        )
+
+    # mesh probes top-16 PER SHARD (union ⊇ global top-16) → ≥ single chip
+    assert recall(got) >= recall(got1) - 1e-9
