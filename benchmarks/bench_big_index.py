@@ -397,12 +397,13 @@ def device_busy_qps_exact(ix, batches, k=10):
         hs.append(ix._search_int8_dispatch(qb, k))
     jax.block_until_ready(hs[-1]["per_q"])
     t_coarse = time.time() - t0
-    sels, t_host = [], 0.0
+    sels, t_host, real_unions = [], 0.0, []
     for h in hs:
         pq = np.asarray(h["per_q"])  # harness RTT, untimed
         t1 = time.time()
         sels.append(ix._union_chunk_sel(pq))
         t_host += time.time() - t1
+        real_unions.append(ix.last_union_chunks)
     dv = ix._device
     k_dev = hs[0]["k_dev"]
     outs = []
@@ -422,7 +423,8 @@ def device_busy_qps_exact(ix, batches, k=10):
         "coarse_ms_per_batch": round(t_coarse / len(batches) * 1e3, 3),
         "host_sel_ms_per_batch": round(t_host / len(batches) * 1e3, 3),
         "scan_ms_per_batch": round(t_scan / len(batches) * 1e3, 3),
-        "union_chunks_mean": round(
+        "union_chunks_mean": round(float(np.mean(real_unions)), 1),
+        "padded_chunks_mean": round(
             float(np.mean([len(s) for s in sels])), 1
         ),
     }
@@ -462,7 +464,8 @@ def phase_serve_chip(root: str):
     t0 = time.time()
     _ = ix.search(q[:1], 10)  # device image upload + compile
     _log(f"serve_chip: warmup {time.time() - t0:.0f}s")
-    rows = {"rows": int(ix.ntotal),
+    rows = {"rows": int(ix.ntotal), "nlist": int(ix.nlist),
+            "d": int(ix.d),
             "platform": jax.devices()[0].platform, "qps": [],
             "recall": {}}
     nprobes = [p for p in (16, 32, 64, 128) if p <= NLIST]
@@ -541,7 +544,7 @@ def phase_serve_mesh(root: str):
     q = np.load(os.path.join(root, "queries_30m.npz"))["q"]
     gt = np.load(os.path.join(root, "gt.npz"))["global_ids"]
     out = {"rows": int(ix.ntotal), "devices": len(jax.devices()),
-           "recall": {}}
+           "nlist": int(ix.nlist), "d": int(ix.d), "recall": {}}
     nq = 64  # CPU mesh: correctness/recall evidence, not throughput
     for nprobe in [p for p in (32, 64, 128) if p <= NLIST]:
         ix.nprobe = nprobe
@@ -558,6 +561,11 @@ def phase_serve_mesh(root: str):
             "wall_s": round(time.time() - t0, 1),
             "first_call_s": round(compile_s, 1),
         }
+        if getattr(ix, "last_union_chunks", None):
+            # per-shard probed-union sizes feed the §6 capacity model
+            out["recall"][str(nprobe)]["union_chunks_per_shard"] = list(
+                map(int, ix.last_union_chunks)
+            )
         _log(f"serve_mesh: nprobe={nprobe} {out['recall'][str(nprobe)]}")
     out["peak_rss_gb"] = round(_rss_gb(), 2)
     with open(os.path.join(root, "serve_mesh.json"), "w") as f:

@@ -552,6 +552,9 @@ class IVFInt8Index:
         lists = np.unique(per_q.reshape(-1))
         cc = self._chunk_counts[lists]
         n = int(cc.sum())
+        # introspection for capacity accounting (docs/big_index_serving.md
+        # §6): the real probed-union size of the last batch, pre-padding
+        self.last_union_chunks = n
         cap = _quarter_pow2(max(n, 16))
         if cap >= self._pad_chunk:  # pad_chunk == real chunk count
             return np.arange(self._pad_chunk, dtype=np.int32)

@@ -343,10 +343,12 @@ class ShardedIVFInt8Index(IVFInt8Index):
         `per_q` is the (n_dev, B, p) LOCAL probed-list readback."""
         n_dev = per_q.shape[0]
         sel = np.full((n_dev, u_cap), self._shard_pad_chunk, np.int32)
+        self.last_union_chunks = []  # per shard, pre-padding (capacity §6)
         for s in range(n_dev):
             lists = np.unique(per_q[s].reshape(-1))
             cc = self._shard_chunk_counts[s][lists]
             n = int(cc.sum())
+            self.last_union_chunks.append(n)
             if u_cap >= self._shard_nc[s]:
                 sel[s, : self._shard_nc[s]] = np.arange(
                     self._shard_nc[s], dtype=np.int32
