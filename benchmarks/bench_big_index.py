@@ -221,8 +221,12 @@ def phase_train(root: str):
         for p in os.listdir(os.path.join(root, "corpus30m"))
         if p.endswith(".npy")
     )
-    # ~64 rows/list training sample, drawn evenly from every part
-    sample_rows = min(1 << 20, N)
+    # ~64 rows/list training sample, drawn evenly from every part; the
+    # 100M run (nlist=65536) overrides via env — 1M rows would leave only
+    # 16 rows/list
+    sample_rows = min(
+        int(os.environ.get("CRT_BIG_TRAIN_SAMPLE", 1 << 20)), N
+    )
     per = sample_rows // len(parts)
     rng = np.random.default_rng(11)
     blocks = []
