@@ -23,7 +23,11 @@ list occupies ceil(size/Lc) fixed-size chunks of Lc rows in one flat
   (B=64, nprobe=64, nlist=16384) that scanned ~8× the real union
   (VERDICT r4 weak #2); `union="static"`/CRT_IVF_INT8_UNION=static
   keeps the old single-dispatch behavior (no mid-search readback — the
-  right trade over a very-high-RTT link);
+  right trade over a very-high-RTT link).  The default `union="auto"`
+  routes per batch: b=1 → static (one query's union IS the worst case,
+  so two-phase sizing buys nothing and costs a readback — measured 427
+  vs 154 QPS at b=1), b>1 → exact (3,554 vs 2,307 QPS at b=64, both
+  from big_index_tpu.json serve_chip);
 - row gather is U contiguous (Lc, d) slices — large-slice gathers are
   MXU-feed-rate on TPU, unlike the per-element LUT gathers that sink
   FAISS-style ADC here (see ops/int8mm.py);
@@ -328,11 +332,15 @@ class IVFInt8Index:
         self.refine_vectors = refine_vectors
         self.rerank_factor = rerank_factor
         # union sizing: "exact" (two-phase, scan only the actual probed
-        # union) or "static" (single dispatch, worst-case provisioned —
-        # see the module docstring).  Runtime knob, not a disk property.
-        self.union = union or os.environ.get("CRT_IVF_INT8_UNION", "exact")
-        if self.union not in ("exact", "static"):
-            raise ValueError(f"union must be exact|static, got {self.union!r}")
+        # union), "static" (single dispatch, worst-case provisioned), or
+        # "auto" (per-batch routing — see _resolve_union).  Runtime knob,
+        # not a disk property.
+        self.union = union or os.environ.get("CRT_IVF_INT8_UNION", "auto")
+        if self.union not in ("exact", "static", "auto"):
+            raise ValueError(
+                f"union must be exact|static|auto, got {self.union!r}"
+            )
+        self._last_union_resolved: str | None = None
         self._device = None
         self._chunk_counts = None
         self._castarts = None
@@ -533,12 +541,31 @@ class IVFInt8Index:
             return exact_rerank(self.refine_vectors, queries, ids, k)
         return self._search_int8(queries, k)
 
+    def _resolve_union(self, padded_b: int) -> str:
+        """Per-batch routing for union="auto".  A single query's probed
+        union IS the static worst case (its own nprobe lists), so the
+        exact path's mid-search readback cannot shrink the scan — one
+        dispatch strictly wins (measured 427 vs 154 QPS device-busy at
+        b=1, big_index_tpu.json serve_chip).  Any larger batch overlaps
+        probes across queries and exact sizing wins at serving shape
+        (3,554 vs 2,307 QPS at b=64, same artifact)."""
+        if self.union != "auto":
+            return self.union
+        return "static" if padded_b <= 1 else "exact"
+
     @property
     def host_round_trips(self) -> int:
         """Host↔device round-trips one blocking search() pays — load
         harnesses (bench_serving_http capacity accounting) subtract this
-        many relay RTTs per batch, not a hard-coded 1."""
-        n = 2 if self.union == "exact" else 1
+        many relay RTTs per batch, not a hard-coded 1.  With
+        union="auto" this reflects the LAST search's resolved route
+        (probe harnesses read it right after timing a fixed shape);
+        before any search, "auto" reports the serving-shape route
+        (exact)."""
+        mode = self._last_union_resolved or (
+            "static" if self.union == "static" else "exact"
+        )
+        n = 2 if mode == "exact" else 1
         if self.refine_vectors is not None and self.rerank_factor > 1:
             n += 1  # exact_rerank is its own dispatch + readback
         return n
@@ -589,7 +616,9 @@ class IVFInt8Index:
         q, b = self._pad_queries_pow2(queries)
         qd = jnp.asarray(q)
         k_dev = min(k, self.ntotal)
-        if self.union == "exact":
+        mode = self._resolve_union(q.shape[0])
+        self._last_union_resolved = mode
+        if mode == "exact":
             per_q = _coarse_probe_device(qd, dv["coarse"], p)
             return {"mode": "exact", "q": qd, "per_q": per_q, "b": b,
                     "k": k, "k_dev": k_dev}

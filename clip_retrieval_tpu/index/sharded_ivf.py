@@ -374,7 +374,9 @@ class ShardedIVFInt8Index(IVFInt8Index):
         q, b = self._pad_queries_pow2(queries)
         p = min(self.nprobe, self.nlist)
         k_dev = min(k, self.ntotal)
-        if self.union == "exact":
+        mode = self._resolve_union(q.shape[0])
+        self._last_union_resolved = mode
+        if mode == "exact":
             # phase 1: per-shard probed lists (tiny readback), host sizes
             # every shard's selection to its ACTUAL union; one shared
             # ¼-pow2 cap (shard_map needs equal shapes across shards)

@@ -358,5 +358,35 @@ def test_union_mode_env_and_validation(data, monkeypatch):
     monkeypatch.setenv("CRT_IVF_INT8_UNION", "static")
     ix = IVFInt8Index.from_vectors(x[:500], nlist=8)
     assert ix.union == "static"
+    monkeypatch.delenv("CRT_IVF_INT8_UNION")
+    ix = IVFInt8Index.from_vectors(x[:500], nlist=8)
+    assert ix.union == "auto"  # the shipped default
     with pytest.raises(ValueError):
         IVFInt8Index.from_vectors(x[:500], nlist=8, union="bogus")
+
+
+def test_union_auto_routing(data):
+    """auto = static at b=1 (one query's probed union IS the static
+    worst case — the two-phase readback buys nothing), exact at b>1.
+    Results must match the pinned modes bit-for-bit, and
+    host_round_trips must reflect the route the LAST search took
+    (capacity accounting subtracts relay RTTs per dispatch)."""
+    x, q = data
+    au = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="auto")
+    st = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="static")
+    ex = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="exact")
+    assert au.host_round_trips == 2  # pre-search: serving-shape route
+
+    v1, i1 = au.search(q[:1], 10)
+    vs, is_ = st.search(q[:1], 10)
+    np.testing.assert_array_equal(i1, is_)
+    np.testing.assert_allclose(v1, vs, rtol=1e-5)
+    assert au._last_union_resolved == "static"
+    assert au.host_round_trips == 1
+
+    vb, ib = au.search(q, 10)
+    ve, ie = ex.search(q, 10)
+    np.testing.assert_array_equal(ib, ie)
+    np.testing.assert_allclose(vb, ve, rtol=1e-5)
+    assert au._last_union_resolved == "exact"
+    assert au.host_round_trips == 2

@@ -226,3 +226,28 @@ def test_sharded_exact_union_recall_at_least_per_query(corpus, single):
 
     # mesh probes top-16 PER SHARD (union ⊇ global top-16) → ≥ single chip
     assert recall(got) >= recall(got1) - 1e-9
+
+
+def test_sharded_union_auto_routes_per_batch(corpus, single):
+    """auto on the mesh tier: b=1 takes the static single-dispatch path,
+    b>1 the exact two-phase path, with results matching the pinned modes."""
+    au = ShardedIVFInt8Index.from_index(single)
+    au.union = "auto"
+    st = ShardedIVFInt8Index.from_index(single)
+    st.union = "static"
+    ex = ShardedIVFInt8Index.from_index(single)
+    ex.union = "exact"
+    rng = np.random.default_rng(7)
+    q = _unit(rng.normal(size=(8, 64)))
+
+    v1, i1 = au.search(q[:1], 5)
+    vs, is_ = st.search(q[:1], 5)
+    np.testing.assert_array_equal(i1, is_)
+    np.testing.assert_allclose(v1, vs, rtol=1e-5)
+    assert au._last_union_resolved == "static"
+
+    vb, ib = au.search(q, 5)
+    ve, ie = ex.search(q, 5)
+    np.testing.assert_array_equal(ib, ie)
+    np.testing.assert_allclose(vb, ve, rtol=1e-5)
+    assert au._last_union_resolved == "exact"
