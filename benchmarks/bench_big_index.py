@@ -417,6 +417,10 @@ def device_busy_qps_exact(ix, batches, k=10):
             _scan_selected_device(
                 h["q"], dv["rows"], dv["scales"], dv["ids"],
                 jnp.asarray(sel), k_dev, ix.exact_topk,
+                # same impl the warm pass (ix.search) compiled — a
+                # mismatch would put fresh XLA compiles inside the timed
+                # region (measured: 703 ms/batch of pure compile noise)
+                impl=ix._scan_impl(),
             )
         )
     jax.block_until_ready(outs[-1])  # single device stream: FIFO
@@ -550,7 +554,12 @@ def phase_serve_mesh(root: str):
     out = {"rows": int(ix.ntotal), "devices": len(jax.devices()),
            "nlist": int(ix.nlist), "d": int(ix.d), "recall": {}}
     nq = 64  # CPU mesh: correctness/recall evidence, not throughput
-    for nprobe in [p for p in (32, 64, 128) if p <= NLIST]:
+    sweep = tuple(
+        int(s) for s in os.environ.get(
+            "CRT_BIG_MESH_NPROBES", "32,64,128"
+        ).split(",")
+    )
+    for nprobe in [p for p in sweep if p <= NLIST]:
         ix.nprobe = nprobe
         # warm first: the first call at each nprobe pays XLA compile (r4's
         # unwarmed serve_mesh read nprobe=32 as 3x SLOWER than nprobe=64

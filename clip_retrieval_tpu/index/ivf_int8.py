@@ -255,7 +255,7 @@ def _coarse_probe_device(q, coarse, p: int):
     return per_q
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exact_topk"))
+@functools.partial(jax.jit, static_argnames=("k", "exact_topk", "impl"))
 def _scan_selected_device(
     q,  # (B, d) f32
     rows,  # (nchunks, Lc, d) int8
@@ -264,31 +264,40 @@ def _scan_selected_device(
     chunk_sel,  # (U,) int32 — host-assembled probed-union chunk indices
     k: int,
     exact_topk: bool,
+    impl: str = "xla",
 ):
     """Phase 2: scan exactly the chunks the host selected.  No coarse
     matmul, no presence/top-k over all chunks — the selection already IS
     the probed union (padded with the all-padding chunk, whose rows carry
-    pos = −1 and are masked out)."""
+    pos = −1 and are masked out).  impl="pallas" streams each selected
+    chunk through the fused gather-GEMM kernel (ops/int8scan.py) instead
+    of materializing the (U, Lc, d) gather in HBM; "xla" is the reference
+    semantics and the non-TPU path."""
     b, d = q.shape
     lc = rows.shape[1]
     u = chunk_sel.shape[0]
-    sub_rows = rows[chunk_sel]  # (U, Lc, d) — U big-slice gathers
-    sub_scales = scales[chunk_sel]
     sub_pos = pos[chunk_sel]
     qq, q_scale = quantize_rows_device(q)
-    acc = jax.lax.dot_general(
-        qq,
-        sub_rows.reshape(u * lc, d),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (B, U*Lc)
-    scores = (
-        acc.astype(jnp.float32)
-        * q_scale[:, None]
-        * sub_scales.reshape(1, u * lc)
-    )
-    valid = sub_pos.reshape(1, u * lc) >= 0
-    scores = jnp.where(valid, scores, -jnp.inf)
+    if impl == "pallas":
+        from ..ops.int8scan import int8_gather_scan
+
+        scores = int8_gather_scan(qq, q_scale, rows, scales, pos, chunk_sel)
+    else:
+        sub_rows = rows[chunk_sel]  # (U, Lc, d) — U big-slice gathers
+        sub_scales = scales[chunk_sel]
+        acc = jax.lax.dot_general(
+            qq,
+            sub_rows.reshape(u * lc, d),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, U*Lc)
+        scores = (
+            acc.astype(jnp.float32)
+            * q_scale[:, None]
+            * sub_scales.reshape(1, u * lc)
+        )
+        valid = sub_pos.reshape(1, u * lc) >= 0
+        scores = jnp.where(valid, scores, -jnp.inf)
     k_eff = min(k, u * lc)
     if exact_topk or u * lc < 4 * 1024:
         vals, ppos = jax.lax.top_k(scores, k_eff)
@@ -541,6 +550,23 @@ class IVFInt8Index:
             return exact_rerank(self.refine_vectors, queries, ids, k)
         return self._search_int8(queries, k)
 
+    @staticmethod
+    def _scan_impl() -> str:
+        """Exact-union scan implementation: CRT_INT8_SCAN=pallas|xla pins
+        it; "auto" (default) stays on the XLA gather path everywhere —
+        the fused Pallas kernel (ops/int8scan.py) only rides auto once a
+        geometry is measured winning on real Mosaic (the flash.py gate
+        policy; bench_int8_scan.py is the harness).  Measured
+        (int8_scan_tpu*.json, real v5e): d=512/Lc=256 serving shape
+        loses slightly (6.2 vs 4.8 ms — XLA's big-slice gather already
+        runs at the effective HBM bound); d=64 the kernel LOSES ~100×
+        (sub-lane-width rows blocks force per-step relayout).  No
+        geometry wins, so auto == xla."""
+        mode = os.environ.get("CRT_INT8_SCAN", "auto")
+        if mode in ("pallas", "xla"):
+            return mode
+        return "xla"
+
     def _resolve_union(self, padded_b: int) -> str:
         """Per-batch routing for union="auto".  A single query's probed
         union IS the static worst case (its own nprobe lists), so the
@@ -647,6 +673,7 @@ class IVFInt8Index:
             vals, ids = _scan_selected_device(
                 h["q"], dv["rows"], dv["scales"], dv["ids"],
                 jnp.asarray(chunk_sel), h["k_dev"], self.exact_topk,
+                impl=self._scan_impl(),
             )
         else:
             vals, ids = h["vals"], h["ids"]
