@@ -213,6 +213,10 @@ def _search_device(
         jnp.take(list_score, jnp.clip(clist, 0, nlist - 1)),
         -jnp.inf,
     )
+    # the ACTUAL probed-union chunk count — read back so union="device"
+    # callers can verify their adaptive u_cap covered the whole union
+    # (chunk_score ≥ 2 ⟺ the owning list was probed by someone)
+    n_union = jnp.sum(chunk_score >= 2.0).astype(jnp.int32)
     u = min(nchunks, u_cap)
     _, top_u = jax.lax.top_k(chunk_score, u)  # (U,)
     sub_rows = rows[top_u]  # (U, Lc, d) int8 — U big-slice gathers
@@ -241,7 +245,7 @@ def _search_device(
         jnp.broadcast_to(sub_pos.reshape(1, u * lc), scores.shape), ppos,
         axis=1,
     )
-    return vals, jnp.where(jnp.isfinite(vals), out_ids, -1)
+    return vals, jnp.where(jnp.isfinite(vals), out_ids, -1), n_union
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
@@ -341,15 +345,20 @@ class IVFInt8Index:
         self.refine_vectors = refine_vectors
         self.rerank_factor = rerank_factor
         # union sizing: "exact" (two-phase, scan only the actual probed
-        # union), "static" (single dispatch, worst-case provisioned), or
+        # union), "static" (single dispatch, worst-case provisioned),
+        # "device" (single dispatch, ADAPTIVE cap + on-device union-size
+        # verification — see _search_int8_dispatch), or
         # "auto" (per-batch routing — see _resolve_union).  Runtime knob,
         # not a disk property.
         self.union = union or os.environ.get("CRT_IVF_INT8_UNION", "auto")
-        if self.union not in ("exact", "static", "auto"):
+        if self.union not in ("exact", "static", "auto", "device"):
             raise ValueError(
-                f"union must be exact|static|auto, got {self.union!r}"
+                f"union must be exact|static|auto|device, got {self.union!r}"
             )
         self._last_union_resolved: str | None = None
+        # union="device" adaptive caps, keyed by (padded_b, nprobe): grown
+        # monotonically from the expectation seed on observed overflows
+        self._dev_caps: dict = {}
         self._device = None
         self._chunk_counts = None
         self._castarts = None
@@ -589,12 +598,49 @@ class IVFInt8Index:
         before any search, "auto" reports the serving-shape route
         (exact)."""
         mode = self._last_union_resolved or (
-            "static" if self.union == "static" else "exact"
+            self.union if self.union != "auto" else "exact"
         )
-        n = 2 if mode == "exact" else 1
+        n = 2 if mode == "exact" else 1  # static/device: one dispatch
         if self.refine_vectors is not None and self.rerank_factor > 1:
             n += 1  # exact_rerank is its own dispatch + readback
         return n
+
+    def _device_union_cap(self, padded_b: int, p: int) -> int:
+        """Adaptive chunk cap for union="device": seeded at the ¼-pow2 of
+        the EXPECTED probed-union size (the same distinct-list expectation
+        docs/big_index_serving.md §6 validates against measured unions:
+        E[lists] = L·(1−(1−1/L)^(B·p)), times the mean chunks/list with a
+        25 % skew margin), then grown monotonically whenever a batch's
+        readback proves the union overflowed the cap.  Never exceeds the
+        static worst case (`chunk_budget`), at which point device mode
+        degenerates to exactly the static path."""
+        key = (padded_b, p)
+        cap = self._dev_caps.get(key)
+        if cap is None:
+            cap = min(
+                _quarter_pow2(
+                    max(16, int(self._union_expect_chunks(padded_b, p)))
+                ),
+                _next_pow2(self._union_worst_chunks(padded_b, p)),
+            )
+            self._dev_caps[key] = cap
+        return cap
+
+    def _grow_device_cap(self, padded_b: int, p: int, n_union: int) -> int:
+        worst = self._union_worst_chunks(padded_b, p)
+        cap = min(_quarter_pow2(max(16, n_union)), _next_pow2(worst))
+        cap = max(cap, self._dev_caps.get((padded_b, p), 0))
+        self._dev_caps[(padded_b, p)] = cap
+        return cap
+
+    def _union_expect_chunks(self, padded_b: int, p: int) -> float:
+        """E[probed-union chunks] with a 25 % skew margin."""
+        nl = self.nlist
+        exp_lists = nl * (1.0 - (1.0 - 1.0 / nl) ** (padded_b * p))
+        return exp_lists * float(self._chunk_counts.mean()) * 1.25
+
+    def _union_worst_chunks(self, padded_b: int, p: int) -> int:
+        return chunk_budget(self._chunk_counts, padded_b * p)
 
     def _union_chunk_sel(self, per_q: np.ndarray) -> np.ndarray:
         """Chunk indices of the ACTUAL probed union (each probed list
@@ -648,10 +694,23 @@ class IVFInt8Index:
             per_q = _coarse_probe_device(qd, dv["coarse"], p)
             return {"mode": "exact", "q": qd, "per_q": per_q, "b": b,
                     "k": k, "k_dev": k_dev}
+        if mode == "device":
+            # single dispatch with an ADAPTIVE union cap: the program
+            # selects the probed union on device and reports its true
+            # size; finish() re-dispatches with a grown cap in the rare
+            # case the union overflowed (then remembers the new cap)
+            u_cap = self._device_union_cap(q.shape[0], p)
+            vals, ids, n_union = _search_device(
+                qd, dv["coarse"], dv["rows"], dv["scales"], dv["ids"],
+                dv["clist"], k_dev, p, u_cap, self.exact_topk,
+            )
+            return {"mode": "device", "vals": vals, "ids": ids,
+                    "n_union": n_union, "u_cap": u_cap, "q": qd, "p": p,
+                    "b": b, "k": k, "k_dev": k_dev}
         # static: chunk budget covering the worst possible probed union
         # for this padded batch (pow2 so compile diversity stays bounded)
         u_cap = _next_pow2(chunk_budget(self._chunk_counts, q.shape[0] * p))
-        vals, ids = _search_device(
+        vals, ids, _ = _search_device(
             qd, dv["coarse"], dv["rows"], dv["scales"], dv["ids"],
             dv["clist"], k_dev, p, u_cap, self.exact_topk,
         )
@@ -675,6 +734,24 @@ class IVFInt8Index:
                 jnp.asarray(chunk_sel), h["k_dev"], self.exact_topk,
                 impl=self._scan_impl(),
             )
+        elif h["mode"] == "device":
+            vals, ids = h["vals"], h["ids"]
+            n_union = int(h["n_union"])
+            self.last_union_chunks = n_union
+            if n_union > h["u_cap"]:
+                # the union overflowed the adaptive cap: some probed lists
+                # were truncated out of the scan, so the result may be
+                # missing candidates.  Grow the cap (remembered for every
+                # later batch of this shape) and re-run — rare after the
+                # first batches of a fresh shape.
+                dv = self._device
+                padded_b = h["q"].shape[0]
+                u_cap = self._grow_device_cap(padded_b, h["p"], n_union)
+                vals, ids, _ = _search_device(
+                    h["q"], dv["coarse"], dv["rows"], dv["scales"],
+                    dv["ids"], dv["clist"], h["k_dev"], h["p"], u_cap,
+                    self.exact_topk,
+                )
         else:
             vals, ids = h["vals"], h["ids"]
         b, k = h["b"], h["k"]

@@ -174,6 +174,11 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 jnp.take(list_score, jnp.clip(clist_l, 0, ls - 1)),
                 -jnp.inf,
             )
+            # this shard's ACTUAL probed-union chunk count; the pmax over
+            # shards is read back by union="device" to verify its
+            # adaptive u_cap covered every shard's union
+            n_union = jnp.sum(chunk_score >= 2.0).astype(jnp.int32)
+            n_union = jax.lax.pmax(n_union, "dp")
             u = min(int(clist_l.shape[0]), u_cap)
             _, top_u = jax.lax.top_k(chunk_score, u)
             sub_rows = rows_l[top_u]  # (U, Lc, d) big-slice gathers
@@ -218,7 +223,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
             all_gids = jax.lax.all_gather(gids, "dp", axis=1, tiled=True)
             mvals, mpos = jax.lax.top_k(all_vals, k)
             mgids = jnp.take_along_axis(all_gids, mpos, axis=1)
-            return mvals, mgids
+            return mvals, mgids, n_union
 
         def search(q, coarse, rows_a, scales_a, ids_a, clist_a, valid_a,
                    k, probe, u_cap, exact_topk):
@@ -227,7 +232,7 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 in_specs=(
                     P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                 ),
-                out_specs=(P(), P()),
+                out_specs=(P(), P(), P()),
             )
             body = partial(
                 shard_search, k=k, probe=probe, u_cap=u_cap,
@@ -361,6 +366,41 @@ class ShardedIVFInt8Index(IVFInt8Index):
             ).astype(np.int32)
         return sel
 
+    def _run_search_fn(self, q, k_dev: int, p: int, u_cap: int):
+        return self._search_fn(
+            jnp.asarray(q),
+            self._device["coarse"],
+            self._device["rows"],
+            self._device["scales"],
+            self._device["ids"],
+            self._device["clist"],
+            self._device["valid"],
+            k_dev,
+            p,
+            u_cap,
+            self.exact_topk,
+        )
+
+    def _union_expect_chunks(self, padded_b: int, p: int) -> float:
+        """Per-SHARD union expectation: each shard probes its own top-p of
+        ls local lists, so the birthday expectation runs over ls, and the
+        mean chunks/list over that shard's counts; the cap must cover the
+        worst shard, so take the max."""
+        best = 0.0
+        for counts in self._shard_chunk_counts:
+            ls = counts.size
+            if ls == 0:
+                continue
+            exp_lists = ls * (1.0 - (1.0 - 1.0 / ls) ** (padded_b * p))
+            best = max(best, exp_lists * float(counts.mean()) * 1.25)
+        return best
+
+    def _union_worst_chunks(self, padded_b: int, p: int) -> int:
+        return max(
+            chunk_budget(counts, padded_b * p)
+            for counts in self._shard_chunk_counts
+        )
+
     def _search_int8(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         # the refine/rerank wrapper lives in the base class search(); this
         # override only swaps the scan for the mesh-sharded one
@@ -405,28 +445,25 @@ class ShardedIVFInt8Index(IVFInt8Index):
                 k_dev,
                 self.exact_topk,
             )
+        elif mode == "device":
+            # single dispatch, adaptive per-shard cap: every shard selects
+            # its own probed union on device; the pmax'd true union size
+            # comes back with the results and grows the cap on overflow
+            nc_max = int(self._shard_nc.max())
+            u_cap = min(self._device_union_cap(q.shape[0], p), nc_max)
+            vals, ids, n_union = self._run_search_fn(q, k_dev, p, u_cap)
+            n_union = int(n_union)
+            self.last_union_chunks = n_union  # per-shard max (scalar)
+            if n_union > u_cap:
+                u_cap = min(
+                    self._grow_device_cap(q.shape[0], p, n_union), nc_max
+                )
+                vals, ids, _ = self._run_search_fn(q, k_dev, p, u_cap)
         else:
             # static: per-shard worst-case probed-union chunk budget (max
             # over shards, pow2 so compile diversity stays bounded)
-            u_cap = _next_pow2(
-                max(
-                    chunk_budget(counts, q.shape[0] * p)
-                    for counts in self._shard_chunk_counts
-                )
-            )
-            vals, ids = self._search_fn(
-                jnp.asarray(q),
-                self._device["coarse"],
-                self._device["rows"],
-                self._device["scales"],
-                self._device["ids"],
-                self._device["clist"],
-                self._device["valid"],
-                k_dev,
-                p,
-                u_cap,
-                self.exact_topk,
-            )
+            u_cap = _next_pow2(self._union_worst_chunks(q.shape[0], p))
+            vals, ids, _ = self._run_search_fn(q, k_dev, p, u_cap)
         vals = np.asarray(vals)[:b]
         ids = self._positions_to_ids(np.asarray(ids)[:b])
         k_eff = vals.shape[1]

@@ -390,3 +390,56 @@ def test_union_auto_routing(data):
     np.testing.assert_allclose(vb, ve, rtol=1e-5)
     assert au._last_union_resolved == "exact"
     assert au.host_round_trips == 2
+
+
+def test_device_union_matches_exact_at_full_probe(data):
+    """union="device" is the exact-union semantics in ONE dispatch: with
+    all lists probed every mode scans everything, so results must be
+    identical; at partial probe, device covers at least the probed union
+    (like exact) plus its cap's filler chunks (like static), so its
+    scores dominate exact's and agree where ids agree."""
+    x, q = data
+    dv = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="device")
+    ex = IVFInt8Index.from_vectors(x, nlist=64, nprobe=16, union="exact")
+    dv.exact_topk = ex.exact_topk = True
+    v_dv, i_dv = dv.search(q, 10)
+    v_ex, i_ex = ex.search(q, 10)
+    assert (v_ex <= v_dv + 1e-5).all()
+    agree = i_dv == i_ex
+    np.testing.assert_allclose(v_dv[agree], v_ex[agree], rtol=1e-5)
+    assert agree.mean() > 0.9, agree.mean()
+    dv.nprobe = ex.nprobe = 64
+    v_dv, i_dv = dv.search(q, 10)
+    v_ex, i_ex = ex.search(q, 10)
+    np.testing.assert_array_equal(i_dv, i_ex)
+    np.testing.assert_allclose(v_dv, v_ex, rtol=1e-5)
+
+
+def test_device_union_overflow_grows_cap(data):
+    """A deliberately-tiny seeded cap must be detected via the on-device
+    union count readback, grown, and the batch re-scanned — results then
+    match a fresh index whose cap was never under-provisioned."""
+    x, q = data
+    dv = IVFInt8Index.from_vectors(x, nlist=64, nprobe=32, union="device")
+    dv.exact_topk = True
+    ref = IVFInt8Index.from_vectors(x, nlist=64, nprobe=32, union="device")
+    ref.exact_topk = True
+    dv._ensure_device()
+    padded_b = 32  # 30 queries pad to 32
+    dv._dev_caps[(padded_b, 32)] = 1  # guaranteed overflow
+    v_dv, i_dv = dv.search(q, 10)
+    grown = dv._dev_caps[(padded_b, 32)]
+    assert grown >= dv.last_union_chunks > 1
+    v_ref, i_ref = ref.search(q, 10)
+    np.testing.assert_array_equal(i_dv, i_ref)
+    np.testing.assert_allclose(v_dv, v_ref, rtol=1e-5)
+
+
+def test_device_union_single_round_trip(data):
+    x, _ = data
+    dv = IVFInt8Index.from_vectors(x, nlist=64, union="device")
+    assert dv.host_round_trips == 1
+    dvr = IVFInt8Index.from_vectors(
+        x, nlist=64, refine=True, union="device"
+    )
+    assert dvr.host_round_trips == 2  # scan + rerank dispatches

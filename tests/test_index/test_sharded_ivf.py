@@ -251,3 +251,37 @@ def test_sharded_union_auto_routes_per_batch(corpus, single):
     np.testing.assert_array_equal(ib, ie)
     np.testing.assert_allclose(vb, ve, rtol=1e-5)
     assert au._last_union_resolved == "exact"
+
+
+def test_sharded_device_union_matches_exact(corpus, single):
+    """union="device" on the mesh: every shard selects its probed union
+    on device under one adaptive cap; at full probe all modes scan
+    everything, so results must be identical to exact."""
+    q = corpus[:24]
+    dv = ShardedIVFInt8Index.from_index(single)
+    dv.union, dv.exact_topk = "device", True
+    ex = ShardedIVFInt8Index.from_index(single)
+    ex.union, ex.exact_topk = "exact", True
+    dv.nprobe = ex.nprobe = 64  # every list probed
+    v_dv, i_dv = dv.search(q, 10)
+    v_ex, i_ex = ex.search(q, 10)
+    np.testing.assert_array_equal(i_dv, i_ex)
+    np.testing.assert_allclose(v_dv, v_ex, rtol=1e-5)
+    assert dv.host_round_trips == 1 and ex.host_round_trips == 2
+
+
+def test_sharded_device_union_overflow_grows_cap(corpus, single):
+    """An under-provisioned cap is detected via the pmax'd per-shard
+    union count and the batch re-scanned with a grown cap."""
+    q = corpus[:24]
+    dv = ShardedIVFInt8Index.from_index(single)
+    dv.union, dv.exact_topk, dv.nprobe = "device", True, 16
+    ref = ShardedIVFInt8Index.from_index(single)
+    ref.union, ref.exact_topk, ref.nprobe = "device", True, 16
+    dv._ensure_device()
+    dv._dev_caps[(32, 16)] = 1  # 24 queries pad to 32; force overflow
+    v_dv, i_dv = dv.search(q, 10)
+    assert dv._dev_caps[(32, 16)] >= dv.last_union_chunks > 1
+    v_ref, i_ref = ref.search(q, 10)
+    np.testing.assert_array_equal(i_dv, i_ref)
+    np.testing.assert_allclose(v_dv, v_ref, rtol=1e-5)
